@@ -1,0 +1,119 @@
+"""DimArray behaviour tests (selection, interp, arithmetic, pytree)."""
+
+import jax
+import numpy as np
+import pytest
+
+from xsarsea_tpu.dimarray import DimArray
+
+
+def make_da():
+    data = np.arange(24, dtype=np.float64).reshape(2, 3, 4)
+    return DimArray(
+        data,
+        dims=("incidence", "wspd", "phi"),
+        coords={"incidence": [20.0, 30.0], "wspd": [1.0, 2.0, 3.0],
+                "phi": [0.0, 90.0, 180.0, 270.0]},
+        attrs={"units": "linear"},
+    )
+
+
+def test_isel_and_sel():
+    da = make_da()
+    sub = da.isel(wspd=1)
+    assert sub.dims == ("incidence", "phi")
+    assert sub.shape == (2, 4)
+    np.testing.assert_array_equal(sub.values, da.values[:, 1, :])
+
+    sub2 = da.sel(incidence=30.0)
+    np.testing.assert_array_equal(sub2.values, da.values[1])
+
+    near = da.sel({"phi": 100.0}, method="nearest")
+    np.testing.assert_array_equal(near.values, da.values[:, :, 1])
+
+
+def test_interp_matches_scipy():
+    from scipy.interpolate import interpn
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(5, 7, 9))
+    coords = {
+        "incidence": np.linspace(16, 66, 5),
+        "wspd": np.linspace(0.2, 50, 7),
+        "phi": np.linspace(0, 180, 9),
+    }
+    da = DimArray(data, dims=("incidence", "wspd", "phi"), coords=coords)
+
+    new_inc = np.linspace(16, 66, 11)
+    new_wspd = np.linspace(0.2, 50, 13)
+    new_phi = np.linspace(0, 180, 17)
+    got = da.interp(incidence=new_inc, wspd=new_wspd, phi=new_phi).values
+
+    pts = np.stack(np.meshgrid(new_inc, new_wspd, new_phi, indexing="ij"), axis=-1)
+    expected = interpn(tuple(coords.values()), data, pts, method="linear")
+    np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+
+def test_interp_out_of_bounds_nan():
+    da = DimArray(np.arange(4.0), dims=("x",), coords={"x": [0.0, 1.0, 2.0, 3.0]})
+    out = da.interp(x=[-1.0, 0.5, 4.0])
+    assert np.isnan(out.values[0]) and np.isnan(out.values[2])
+    assert out.values[1] == 0.5
+
+
+def test_arithmetic_broadcast_by_name():
+    a = DimArray(np.ones((2, 3)), dims=("line", "sample"))
+    b = DimArray(np.arange(3.0), dims=("sample",))
+    c = a + b
+    assert c.dims == ("line", "sample")
+    np.testing.assert_array_equal(c.values, np.ones((2, 3)) + np.arange(3.0))
+
+    d = b * a
+    assert d.shape == (3, 2) or d.shape == (2, 3)
+
+
+def test_broadcast_like():
+    big = DimArray(np.zeros((4, 5)), dims=("line", "sample"),
+                   coords={"line": np.arange(4), "sample": np.arange(5)})
+    row = DimArray(np.arange(5.0), dims=("sample",), coords={"sample": np.arange(5)})
+    out = row.broadcast_like(big)
+    assert out.shape == (4, 5)
+    np.testing.assert_array_equal(out.values[2], np.arange(5.0))
+
+
+def test_coarsen_trim():
+    da = DimArray(np.arange(30.0).reshape(5, 6), dims=("line", "sample"),
+                  coords={"line": np.arange(5.0), "sample": np.arange(6.0)})
+    out = da.coarsen_mean({"line": 2, "sample": 2})
+    assert out.shape == (2, 3)
+    np.testing.assert_allclose(out.values[0, 0], np.mean([0, 1, 6, 7]))
+    np.testing.assert_allclose(out.coords["line"], [0.5, 2.5])
+
+
+def test_pytree_roundtrip_through_jit():
+    da = make_da()
+
+    @jax.jit
+    def f(x: DimArray):
+        return x.copy(data=x.data * 2.0)
+
+    out = f(da)
+    assert isinstance(out, DimArray)
+    assert out.dims == da.dims
+    np.testing.assert_array_equal(np.asarray(out.data), da.values * 2.0)
+    np.testing.assert_array_equal(out.coords["phi"], da.coords["phi"])
+
+
+def test_transpose_and_squeeze():
+    da = make_da()
+    t = da.transpose("wspd", "phi", "incidence")
+    assert t.shape == (3, 4, 2)
+    e = da.isel(incidence=slice(0, 1)).squeeze("incidence")
+    assert e.dims == ("wspd", "phi")
+
+
+def test_where_fillna():
+    da = DimArray(np.array([1.0, np.nan, 3.0]), dims=("x",))
+    np.testing.assert_array_equal(da.fillna(0.0).values, [1.0, 0.0, 3.0])
+    masked = da.where(da > 2.0)
+    assert np.isnan(masked.values[0])

@@ -1,0 +1,112 @@
+"""sigma0 detrending ("roughness" / nice display) and the sarwing OWI reader.
+
+`sigma0_detrend` divides out the incidence-angle trend predicted by a GMF at
+a fixed (wind speed, direction), following the reference algorithm
+(``detrend.py:8-68``): one GMF evaluation per column of the first image
+line, normalized by its mean, broadcast-divided into sigma0. On TPU the GMF
+evaluation and the divide run fused under jit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from xsarsea_tpu.dimarray import DimArray
+from xsarsea_tpu.models.base import get_model
+from xsarsea_tpu.utils import logger, timing
+
+__all__ = ["sigma0_detrend", "read_sarwing_owi"]
+
+
+@timing(logger=logger.info)
+def sigma0_detrend(
+    sigma0,
+    inc_angle,
+    wind_speed_gmf=10.0,
+    wind_dir_gmf=45.0,
+    model="gmf_cmod5n",
+):
+    """Compute detrended sigma0 from linear sigma0 and incidence (deg).
+
+    Parameters mirror the reference ``sigma0_detrend`` (detrend.py:8-68);
+    `sigma0` and `inc_angle` may be DimArrays with ('line', 'sample') dims
+    or plain 2-D arrays (line, sample).
+    """
+    model = get_model(model)
+
+    wspd = np.asarray(wind_speed_gmf, dtype=np.float64).reshape(-1)
+    phi = np.asarray(wind_dir_gmf, dtype=np.float64).reshape(-1)
+    if wspd.size != 1 or phi.size != 1:
+        raise ValueError("wind_speed_gmf and wind_dir_gmf must be scalars (size 1)")
+
+    is_dimarray = isinstance(sigma0, DimArray)
+    inc_data = inc_angle.data if isinstance(inc_angle, DimArray) else jnp.asarray(inc_angle)
+    s0_data = sigma0.data if is_dimarray else jnp.asarray(sigma0)
+
+    gmf_fn = model._jit_broadcast if hasattr(model, "_jit_broadcast") else None
+
+    @jax.jit
+    def _detrend(s0, inc_row):
+        if gmf_fn is not None:
+            sample = gmf_fn(inc_row, jnp.asarray(wspd[0], dtype=inc_row.dtype),
+                            jnp.asarray(phi[0], dtype=inc_row.dtype))
+        else:
+            raise NotImplementedError
+        ratio = sample / jnp.nanmean(sample)
+        return s0 / ratio[None, :]
+
+    if gmf_fn is None:
+        # tabulated model: evaluate through the LUT interp (host path)
+        sample = model(np.asarray(inc_data[0]), wspd, phi)
+        sample_v = np.squeeze(np.asarray(sample.data if isinstance(sample, DimArray) else sample))
+        ratio = sample_v / np.nanmean(sample_v)
+        detrended_data = s0_data / jnp.asarray(ratio)[None, :]
+    else:
+        detrended_data = _detrend(jnp.asarray(s0_data), jnp.asarray(inc_data)[0])
+
+    if is_dimarray:
+        out = sigma0.copy(data=detrended_data)
+        out.attrs = dict(sigma0.attrs)
+        out = out.assign_attrs(comment=f"detrended with model {model.name}")
+        return out
+    return detrended_data
+
+
+def read_sarwing_owi(owi_file):
+    """Read a sarwing OWI netCDF file into a dict of DimArrays.
+
+    Counterpart of the reference ``read_sarwing_owi`` (detrend.py:71-93),
+    which returns an xarray Dataset; here a plain ``dict`` keyed by variable
+    name, each value a DimArray over ('line', 'sample'), with the
+    ``owiInversionTables_UV`` group merged in and line/sample coordinates
+    assigned.
+    """
+    import h5py
+
+    out = {}
+    with h5py.File(owi_file, "r") as f:
+
+        def load_group(grp):
+            for key, dset in grp.items():
+                if not hasattr(dset, "shape") or dset.ndim != 2:
+                    continue
+                if key in ("owiCalConstObsi", "owiCalConstInci"):
+                    continue
+                data = np.asarray(dset)
+                out[key] = DimArray(
+                    data,
+                    dims=("line", "sample"),
+                    coords={
+                        "line": np.arange(data.shape[0]),
+                        "sample": np.arange(data.shape[1]),
+                    },
+                    name=key,
+                )
+
+        load_group(f)
+        if "owiInversionTables_UV" in f:
+            load_group(f["owiInversionTables_UV"])
+    return out

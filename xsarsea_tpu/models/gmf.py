@@ -1,0 +1,212 @@
+"""GmfModel: analytic GMFs as jit/vmap-compiled TPU kernels.
+
+Replaces the reference numba compilation zoo (``gmfs.py:174-264`` compiles
+each scalar GMF five ways: njit / vectorize / guvectorize / numpy
+fallbacks). Here a registered GMF is a *pure, broadcasting jnp function*,
+so one code path serves scalar calls, N-D broadcast evaluation and
+on-device 3-D LUT generation — shape polymorphism comes from XLA, not from
+a dispatch table. The user registration contract becomes "write a
+jnp-traceable function" instead of "write numba-compilable scalar python".
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from xsarsea_tpu.dimarray import DimArray
+from xsarsea_tpu.models.base import Model, _grid
+
+logger = logging.getLogger("xsarsea_tpu.models.gmf")
+
+__all__ = ["GmfModel"]
+
+
+def _float_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+class GmfModel(Model):
+    """Model backed by an analytic jnp function ``f(inc, wspd, phi)``."""
+
+    _name_prefix = "gmf_"
+    _priority = 3
+    _deferred = []
+
+    @classmethod
+    def register(cls, name=None, pol=None, units="linear", defer=True, **kwargs):
+        """Decorator registering a GMF function (reference gmfs.py:23-105).
+
+        The decorated function must be jnp-traceable and broadcasting over
+        its (inc, wspd[, phi]) arguments.
+
+        >>> @GmfModel.register(pol="VH", units="linear", defer=False)
+        ... def gmf_dummy(inc, wspd, phi=None):
+        ...     a = 1e-4 - 4.5e-6 * inc
+        ...     return a * wspd ** 1.39
+        """
+
+        def inner(func):
+            gmf_name = name or func.__name__
+            if not gmf_name.startswith(cls._name_prefix):
+                raise ValueError(f"gmf function name must start with '{cls._name_prefix}'")
+            wspd_range = kwargs.pop("wspd_range", None)
+            if wspd_range is None:
+                wspd_range = [0.2, 50.0] if len(set(pol)) == 1 else [3.0, 80.0]
+            if defer:
+                cls._deferred.append((func, gmf_name, wspd_range, pol, units, dict(kwargs)))
+            else:
+                cls.register_function(func, gmf_name, wspd_range=wspd_range, pol=pol,
+                                      units=units, **kwargs)
+            return func
+
+        return inner
+
+    @classmethod
+    def register_function(cls, func, name, wspd_range=None, pol=None, units="linear", **kwargs):
+        """Immediately register `func` under `name`. Idempotent re-registration."""
+        return cls(name, func, wspd_range=wspd_range, pol=pol, units=units, **kwargs)
+
+    @classmethod
+    def activate_gmfs_impl(cls, gmfs_names=None, **kwargs):
+        """Process deferred registrations (reference gmfs.py:112-125)."""
+        for func, name, wspd_range, pol, units, reg_kwargs in cls._deferred:
+            if gmfs_names is None or name in gmfs_names:
+                cls.register_function(func, name, wspd_range=wspd_range, pol=pol, units=units,
+                                      **{**reg_kwargs, **kwargs})
+
+    def __init__(self, name, gmf_fn, wspd_range=None, pol=None, units=None, **kwargs):
+        # probe: does the function accept/require phi, and with what period?
+        # (reference probes the same way, gmfs.py:134-158)
+        phi_range = kwargs.pop("phi_range", None)
+        needs_phi = True
+        try:
+            val = gmf_fn(35.0, 0.2, None)
+            _ = np.asarray(val, dtype=np.float64)
+            needs_phi = False
+        except (TypeError, ValueError):
+            needs_phi = True
+
+        if phi_range is None and needs_phi:
+            diffs = [
+                float(np.abs(np.asarray(gmf_fn(35.0, 0.2, p)) - np.asarray(gmf_fn(35.0, 0.2, -p))))
+                for p in (0.0, 90.0, 180.0, 270.0)
+            ]
+            # a phi-periodic-180 GMF is symmetric under phi -> -phi
+            phi_range = [0.0, 180.0] if min(diffs) < 1e-15 else [0.0, 360.0]
+        elif not needs_phi:
+            phi_range = None
+
+        super().__init__(
+            name,
+            units=units,
+            pol=pol,
+            wspd_range=wspd_range or [0.2, 50.0],
+            phi_range=phi_range,
+            **kwargs,
+        )
+        self._gmf_fn = gmf_fn
+        self._needs_phi = needs_phi
+        self._jit_broadcast = jax.jit(self._eval_broadcast)
+        self._jit_grid = jax.jit(self._eval_grid)
+
+    # ------------------------------------------------------------ evaluation
+    def _eval_broadcast(self, inc, wspd, phi):
+        if self._needs_phi:
+            return self._gmf_fn(inc, wspd, phi)
+        return self._gmf_fn(inc, wspd)
+
+    def _eval_grid(self, inc, wspd, phi):
+        """Outer-product grid evaluation → shape (inc, wspd[, phi])."""
+        if self._needs_phi:
+            return self._gmf_fn(inc[:, None, None], wspd[None, :, None], phi[None, None, :])
+        return self._gmf_fn(inc[:, None], wspd[None, :])
+
+    def __call__(self, inc, wspd, phi=None, broadcast=False, numba=None):
+        """Evaluate the GMF.
+
+        Dispatch mirrors the reference ``GmfModel.__call__``
+        (gmfs.py:266-348): all-scalar → scalar; all-1D → outer-product
+        DimArray over (incidence, wspd[, phi]); otherwise (or with
+        ``broadcast=True``) → elementwise broadcast evaluation. ``numba``
+        is accepted for API compatibility and ignored (XLA compiles here).
+        """
+        vals = [v for v in (inc, wspd, phi) if v is not None]
+        all_scalar = all(np.isscalar(v) for v in vals)
+        all_1d = all(hasattr(v, "ndim") and v.ndim == 1 for v in vals)
+        if any(hasattr(v, "ndim") and v.ndim > 1 for v in vals):
+            broadcast = True
+
+        dtype = _float_dtype()
+
+        def prep(v):
+            if v is None:
+                return None
+            data = v.data if isinstance(v, DimArray) else v
+            return jnp.asarray(data, dtype=dtype)
+
+        if broadcast:
+            template = next((v for v in (inc, wspd, phi) if isinstance(v, DimArray)), None)
+            out = self._jit_broadcast(prep(inc), prep(wspd),
+                                      prep(phi) if self._needs_phi else None)
+            out = jnp.broadcast_to(
+                out, np.broadcast_shapes(*(np.shape(prep(v)) for v in vals))
+            )
+            if template is not None:
+                res = template.copy(data=out)
+                res.attrs = {"units": self.units}
+                return res
+            return out
+
+        if all_scalar:
+            args = (prep(inc), prep(wspd), prep(phi) if self._needs_phi else None)
+            return float(self._jit_broadcast(*args))
+
+        if all_1d:
+            inc_j, wspd_j = prep(inc), prep(wspd)
+            phi_j = prep(phi) if (self._needs_phi and phi is not None) else None
+            if self._needs_phi and phi_j is None:
+                raise ValueError(f"model {self.name} requires phi")
+            data = self._jit_grid(inc_j, wspd_j, phi_j)
+
+            def coord_of(v, default):
+                if isinstance(v, DimArray):
+                    return np.asarray(v.data)
+                return np.asarray(default)
+
+            dims = ["incidence", "wspd"]
+            coords = {"incidence": coord_of(inc, inc), "wspd": coord_of(wspd, wspd)}
+            if self._needs_phi:
+                dims.append("phi")
+                coords["phi"] = coord_of(phi, phi)
+            return DimArray(data, dims=dims, coords=coords,
+                            attrs={"units": self.units}, name="sigma0_gmf")
+
+        raise ValueError("inputs must be all-scalar, all-1D, or broadcastable N-D")
+
+    # ------------------------------------------------------------------ LUTs
+    def _raw_lut(self, resolution="low", **kwargs):
+        """Generate the LUT on-device over linspace grids (gmfs.py:350-395).
+
+        Low resolution by default; ``Model.to_lut`` then up-interpolates to
+        the requested resolution, matching the reference pipeline (which
+        means high-res LUT values are *linear interps* of the low-res
+        analytic evaluation — important for numerical parity).
+        """
+        if resolution not in ("low", "high", None):
+            raise ValueError("resolution must be 'low', 'high' or None")
+        if resolution is None:
+            resolution = "low" if self.iscopol else "high"
+
+        inc_step, wspd_step, phi_step = self._steps_for(resolution, **kwargs)
+        inc = _grid(self.inc_range, inc_step)
+        wspd = _grid(self.wspd_range, wspd_step)
+        phi = _grid(self.phi_range, phi_step) if self.phi_range is not None else None
+
+        lut = self.__call__(inc, wspd, phi)
+        lut = lut.assign_attrs(resolution=resolution, units=self.units)
+        return lut
