@@ -242,7 +242,7 @@ def ref_invert_mono_copol(inc, sigma0_co, ancillary_wind, lut_co_db, dsig_co=0.1
             None,
             ancillary_wind=np.asarray(ancillary_wind, dtype=np.complex128),
             dsig_co=dsig_co,
-            model=(model_co,),
+            model=model_co,
         )
 
 
@@ -258,7 +258,7 @@ def ref_invert_mono_crosspol(inc, sigma0_cr, dsig_cr, lut_cr_db):
             np.asarray(sigma0_cr, dtype=np.float64),
             None,
             dsig_cr=np.asarray(dsig_cr, dtype=np.float64),
-            model=(model_cr,),
+            model=model_cr,
         )
 
 

@@ -35,3 +35,4 @@ from xsarsea_tpu.directions import (
 )
 from xsarsea_tpu.utils import get_test_file
 from xsarsea_tpu import utils  # noqa: F401
+from xsarsea_tpu import windspeed  # noqa: F401

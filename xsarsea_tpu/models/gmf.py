@@ -30,6 +30,10 @@ def _float_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+def _cpu_device():
+    return jax.devices("cpu")[0]
+
+
 class GmfModel(Model):
     """Model backed by an analytic jnp function ``f(inc, wspd, phi)``."""
 
@@ -81,25 +85,30 @@ class GmfModel(Model):
 
     def __init__(self, name, gmf_fn, wspd_range=None, pol=None, units=None, **kwargs):
         # probe: does the function accept/require phi, and with what period?
-        # (reference probes the same way, gmfs.py:134-158)
+        # (reference probes the same way, gmfs.py:134-158). Probing runs
+        # eagerly on the *host CPU device* — tiny scalar ops must never be
+        # dispatched to a (possibly remote) accelerator.
         phi_range = kwargs.pop("phi_range", None)
         needs_phi = True
-        try:
-            val = gmf_fn(35.0, 0.2, None)
-            _ = np.asarray(val, dtype=np.float64)
-            needs_phi = False
-        except (TypeError, ValueError):
-            needs_phi = True
+        with jax.default_device(_cpu_device()):
+            try:
+                val = gmf_fn(35.0, 0.2, None)
+                _ = np.asarray(val, dtype=np.float64)
+                needs_phi = False
+            except (TypeError, ValueError):
+                needs_phi = True
 
-        if phi_range is None and needs_phi:
-            diffs = [
-                float(np.abs(np.asarray(gmf_fn(35.0, 0.2, p)) - np.asarray(gmf_fn(35.0, 0.2, -p))))
-                for p in (0.0, 90.0, 180.0, 270.0)
-            ]
-            # a phi-periodic-180 GMF is symmetric under phi -> -phi
-            phi_range = [0.0, 180.0] if min(diffs) < 1e-15 else [0.0, 360.0]
-        elif not needs_phi:
-            phi_range = None
+            if phi_range is None and needs_phi:
+                # a phi-periodic-180 GMF is symmetric under phi -> -phi;
+                # probe all four quadrants at once
+                probe = np.array([0.0, 90.0, 180.0, 270.0])
+                diff = np.abs(
+                    np.asarray(gmf_fn(35.0, 0.2, probe))
+                    - np.asarray(gmf_fn(35.0, 0.2, -probe))
+                )
+                phi_range = [0.0, 180.0] if diff.min() < 1e-15 else [0.0, 360.0]
+            elif not needs_phi:
+                phi_range = None
 
         super().__init__(
             name,
@@ -163,8 +172,11 @@ class GmfModel(Model):
             return out
 
         if all_scalar:
-            args = (prep(inc), prep(wspd), prep(phi) if self._needs_phi else None)
-            return float(self._jit_broadcast(*args))
+            # scalar evaluation on the host CPU: dispatching one scalar to an
+            # accelerator costs far more than the arithmetic
+            with jax.default_device(_cpu_device()):
+                args = (prep(inc), prep(wspd), prep(phi) if self._needs_phi else None)
+                return float(self._eval_broadcast(*args))
 
         if all_1d:
             inc_j, wspd_j = prep(inc), prep(wspd)
@@ -207,6 +219,11 @@ class GmfModel(Model):
         wspd = _grid(self.wspd_range, wspd_step)
         phi = _grid(self.phi_range, phi_step) if self.phi_range is not None else None
 
-        lut = self.__call__(inc, wspd, phi)
+        # LUT construction is a one-off host-side task: evaluate on the CPU
+        # device and keep the result as numpy, so the (possibly remote)
+        # accelerator is only handed the final packed table.
+        with jax.default_device(_cpu_device()):
+            lut = self.__call__(inc, wspd, phi)
+        lut = lut.copy(data=np.asarray(lut.data))
         lut = lut.assign_attrs(resolution=resolution, units=self.units)
         return lut
