@@ -262,6 +262,39 @@ def ref_invert_mono_crosspol(inc, sigma0_cr, dsig_cr, lut_cr_db):
         )
 
 
+# ----------------------------------------------------------------- gradients
+
+_ref_gradients_cache = None
+
+
+def load_ref_gradients():
+    """Load reference gradients.py with an (unused-at-import) xarray stub.
+
+    Only the pure-numpy pieces are usable from it (gradient_histogram);
+    the xarray-dependent class machinery is exercised through hand-built
+    cv2/scipy oracles in the tests instead.
+    """
+    global _ref_gradients_cache
+    if _ref_gradients_cache is None:
+        xr_stub = types.ModuleType("xarray")
+        saved = sys.modules.get("xarray")
+        sys.modules["xarray"] = xr_stub
+        try:
+            utils_stub = types.ModuleType("xsarsea.utils")
+            utils_stub.timing = lambda logger=None: (lambda f: f)
+            _ensure_pkg("xsarsea")
+            sys.modules["xsarsea.utils"] = utils_stub
+            _ref_gradients_cache = _exec_file(
+                f"{REF_SRC}/gradients.py", "xsarsea_ref_gradients"
+            )
+        finally:
+            if saved is None:
+                sys.modules.pop("xarray", None)
+            else:
+                sys.modules["xarray"] = saved
+    return _ref_gradients_cache
+
+
 # ------------------------------------------------------- windspeed utilities
 
 _ref_wutils_cache = None

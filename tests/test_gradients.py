@@ -1,0 +1,245 @@
+"""Gradients pipeline parity vs cv2/scipy oracles and the reference kernel."""
+
+import cv2
+import numpy as np
+import pytest
+from scipy import ndimage, signal
+
+import jax.numpy as jnp
+
+from xsarsea_tpu.dimarray import DimArray
+from xsarsea_tpu.gradients import (
+    Gradients,
+    Gradients2D,
+    Mean,
+    PlotGradients,
+    R2,
+    circ_hist,
+    circ_smooth,
+    filtering_parameters,
+    local_gradients,
+    smoothing,
+)
+from xsarsea_tpu.gradients import _extract_windows, _histogram_windows
+from reference_runner import load_ref_gradients
+
+rng = np.random.default_rng(0)
+
+
+def streak_image(ny=256, nx=256, angle_deg=30.0, wavelength=20.0, seed=0):
+    """Synthetic sigma0 with sinusoidal streaks at a known orientation."""
+    r = np.random.default_rng(seed)
+    y, x = np.mgrid[0:ny, 0:nx]
+    k = 2 * np.pi / wavelength
+    phase = k * (np.cos(np.deg2rad(angle_deg)) * x + np.sin(np.deg2rad(angle_deg)) * y)
+    img = 1.0 + 0.5 * np.sin(phase) + 0.1 * r.normal(size=(ny, nx))
+    return np.abs(img) + 0.01
+
+
+# ------------------------------------------------------------------- oracles
+
+def oracle_R2(image):
+    B2 = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], float) / 16
+    B4 = signal.convolve(B2, B2)
+    x = signal.convolve2d(image, B4, mode="same", boundary="symm")
+    h, w = (x.shape[0] // 2) * 2, (x.shape[1] // 2) * 2
+    x = x[:h, :w].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    return signal.convolve2d(x, B2, mode="same", boundary="symm")
+
+
+def oracle_local_gradients(image):
+    gr = cv2.Scharr(image, cv2.CV_64F, 1, 0)
+    gi = cv2.Scharr(image, cv2.CV_64F, 0, 1)
+    grad12 = (gr + 1j * gi) ** 2
+    grad2 = oracle_R2(grad12.real) + 1j * oracle_R2(grad12.imag)
+    grad3 = oracle_R2(np.abs(grad12))
+    c = np.abs(grad2) / (grad3 + 0.00001)
+    c = np.where(c <= 1, c, 0.0)
+    return np.sqrt(grad2), grad3, c
+
+
+def test_local_gradients_matches_oracle():
+    img = streak_image(128, 130)
+    lg = local_gradients(img)
+    g2_o, g3_o, c_o = oracle_local_gradients(img)
+    np.testing.assert_allclose(np.asarray(lg["G2"].data), g2_o, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(lg["G3"].data), g3_o, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(lg["c"].data), c_o, rtol=1e-10, atol=1e-12)
+    # local_gradients itself reduces by 2 (one internal R2)
+    assert lg["G2"].sizes["line"] == 128 // 2
+
+
+def test_histogram_kernel_matches_reference():
+    """Batch histogram kernel vs the reference per-window gradient_histogram."""
+    ref = load_ref_gradients()
+    n_angles = 72
+    bins = np.linspace(-np.pi / 2, np.pi / 2, n_angles + 1)
+    bins = (bins[1:] + bins[:-1]) / 2
+
+    wpix = 100
+    windows_g2 = []
+    windows_c = []
+    for seed in range(6):
+        r = np.random.default_rng(seed)
+        # G2 comes from a principal-branch complex sqrt -> angles in
+        # (-pi/2, pi/2); the reference kernel relies on this domain
+        theta = r.uniform(-np.pi / 2 * 0.999, np.pi / 2 * 0.999, wpix)
+        g2 = r.uniform(0, 3, wpix) * np.exp(1j * theta)
+        c = r.uniform(0, 1, wpix)
+        if seed == 2:
+            g2[::7] = np.nan + 1j * np.nan  # masked pixels
+        if seed == 3:
+            g2[:] = np.nan + 1j * np.nan  # fully masked window
+        if seed == 4:
+            g2[::5] = 0.0  # zero-gradient pixels are excluded
+        windows_g2.append(g2)
+        windows_c.append(c)
+
+    got_h, got_r = _histogram_windows(
+        jnp.asarray(np.stack(windows_g2)),
+        jnp.asarray(np.stack(windows_c)),
+        jnp.asarray(bins),
+    )
+    got_h, got_r = np.asarray(got_h), np.asarray(got_r)
+
+    import warnings
+
+    for i, (g2, c) in enumerate(zip(windows_g2, windows_c)):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            exp_h, exp_r = ref.gradient_histogram(g2.reshape(10, 10), c.reshape(10, 10), bins)
+        np.testing.assert_allclose(got_h[i], exp_h, rtol=1e-10, atol=1e-12,
+                                   err_msg=f"window {i}")
+        np.testing.assert_allclose(got_r[i], exp_r, rtol=1e-12)
+
+
+def test_extract_windows_anchoring():
+    arr = jnp.asarray(np.arange(100.0).reshape(10, 10))
+    w = 4
+    wins = np.asarray(_extract_windows(arr, jnp.asarray([5]), jnp.asarray([5]), w, w))
+    # rolling(center=True) anchor: start = c - (w-1)//2
+    expected = np.arange(100.0).reshape(10, 10)[4:8, 4:8].reshape(-1)
+    np.testing.assert_array_equal(wins[0], expected)
+    # border window is NaN-padded
+    wins0 = np.asarray(_extract_windows(arr, jnp.asarray([0]), jnp.asarray([0]), w, w))
+    assert np.isnan(wins0[0]).sum() == w * w - 3 * 3
+
+
+def test_gradients2d_end_to_end():
+    img = streak_image(400, 400, angle_deg=25.0)
+    g = Gradients2D(img, window_size=100, window_step=1)
+    hist = g.histogram
+    assert set(hist.variables) == {"weight", "used_ratio"}
+    w = hist["weight"]
+    assert w.dims == ("line", "sample", "angles")
+    assert w.sizes["angles"] == 72
+    assert (np.asarray(hist["used_ratio"].data) <= 1.0).all()
+
+    # streaks at 25 deg -> gradients orthogonal at 25+90; G2 doubles angles
+    # so the peak of the histogram sits near -(90-25)... simply check the
+    # dominant direction is consistent across interior windows
+    interior = np.asarray(w.data)[1:-1, 1:-1]
+    peaks = interior.argmax(axis=-1)
+    assert peaks.std() < 3.0  # coherent direction field
+
+
+def test_gradients_multiscale_dims():
+    img = streak_image(300, 280)
+    da = DimArray(
+        np.stack([img, img * 1.1]),
+        dims=("pol", "line", "sample"),
+        coords={"pol": np.array(["VV", "VH"]), "line": np.arange(300),
+                "sample": np.arange(280)},
+    )
+    g = Gradients(da, windows_sizes=[80, 160], downscales_factors=[1, 2])
+    hist = g.histogram
+    w = hist["weight"]
+    assert w.dims == ("pol", "downscale_factor", "window_size", "line", "sample", "angles")
+    assert w.sizes["pol"] == 2
+    assert w.sizes["downscale_factor"] == 2
+    assert w.sizes["window_size"] == 2
+    np.testing.assert_array_equal(w.coords["downscale_factor"], [1, 2])
+
+
+def test_circ_smooth_matches_scipy():
+    h = rng.uniform(0, 1, size=(3, 72))
+    da = DimArray(h, dims=("w", "angles"),
+                  coords={"angles": np.linspace(-np.pi / 2, np.pi / 2, 72)})
+    got = np.asarray(circ_smooth(da).data)
+
+    Bx = np.array([1, 2, 1], float) / 4
+    Bx2 = np.array([1, 0, 2, 0, 1], float) / 4
+    Bx4 = np.array([1, 0, 0, 0, 2, 0, 0, 0, 1], float) / 4
+    Bx8 = np.array([1, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 1], float) / 4
+    for row in range(3):
+        x = np.pad(h[row], 17, mode="wrap")
+        for B in (Bx, Bx2, Bx4, Bx8):
+            x = signal.convolve(x, B, mode="same")
+        np.testing.assert_allclose(got[row], x[17:-17], rtol=1e-12, atol=1e-14)
+
+
+def test_filtering_parameters_matches_oracle():
+    img = streak_image(128, 128)
+
+    def oracle():
+        image = np.sqrt(img)
+        r2 = oracle_R2(image)
+        _, G3, c = oracle_local_gradients(image)
+        B2 = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], float) / 16
+        B4 = signal.convolve(B2, B2)
+        B22 = np.array([[1, 0, 2, 0, 1], [0, 0, 0, 0, 0], [2, 0, 4, 0, 2],
+                        [0, 0, 0, 0, 0], [1, 0, 2, 0, 1]], float) / 16
+        B42 = signal.convolve(B22, B22)
+
+        def mean_op(x):
+            y = signal.convolve2d(x, B4, mode="same", boundary="symm")
+            return signal.convolve2d(y, B42, mode="same", boundary="symm")
+
+        J = mean_op(r2)
+        J1 = mean_op(r2 ** 2)
+        J2 = np.sqrt(J1 - J ** 2)
+        P1 = J2 / (J + 0.00001)
+        h, w = (r2.shape[0] // 2) * 2, (r2.shape[1] // 2) * 2
+        resampl = r2[:h, :w].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        sm = signal.convolve2d(resampl, B2, mode="same", boundary="symm")
+        K = r2 - ndimage.zoom(sm, (r2.shape[0] / resampl.shape[0],
+                                   r2.shape[1] / resampl.shape[1]), order=1)
+        P2 = K ** 2 / (J ** 2 + 0.00001)
+        G4 = mean_op(G3)
+        P3 = G3 / (G4 + 0.00001)
+        P4 = np.sqrt(c)
+        f1 = np.clip(-50 * P1 + 2.75, 0, 1)
+        f2 = np.clip(-5000 * P2 + 3, 0, 1)
+        f3 = np.clip(-2.5 * P3 + 4, 0, 1)
+        f4 = np.clip(-10 * P4 + 6.3, 0, 1)
+        F = np.sqrt((f1 ** 2 + f2 ** 2 + f3 ** 2 + f4 ** 2) / 4)
+        return f1, f2, f3, f4, F
+
+    got = filtering_parameters(img)
+    expected = oracle()
+    for g, e, name in zip(got, expected, "f1 f2 f3 f4 F".split()):
+        np.testing.assert_allclose(np.asarray(g.data), e, rtol=1e-7, atol=1e-9,
+                                   err_msg=name)
+
+
+def test_circ_hist_contract():
+    da = DimArray(rng.uniform(0, 1, 72), dims=("angles",),
+                  coords={"angles": np.linspace(-np.pi / 2, np.pi / 2, 72)})
+    df = circ_hist(da)
+    assert list(df.columns) == ["line_g", "sample_g"]
+    assert len(df) == 145  # 2*72 + closing point
+    np.testing.assert_allclose(df.iloc[0], df.iloc[-1])
+
+
+def test_plot_gradients():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    img = streak_image(300, 300)
+    hist = Gradients2D(img, window_size=100).histogram
+    pg = PlotGradients(hist)
+    assert "angle" in pg.peak.variables
+    ax = pg.vectorfield()
+    assert ax is not None
+    ax2 = pg.histogram_plot(line=150, sample=150)
+    assert ax2 is not None

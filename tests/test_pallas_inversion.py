@@ -1,0 +1,94 @@
+"""Pallas inversion kernel: CPU interpreter-mode equivalence tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xsarsea_tpu.models import get_model
+from xsarsea_tpu.ops.pallas_inversion import (
+    bucket_by_band,
+    nearest_index_sorted,
+)
+from xsarsea_tpu.windspeed.inversion import InversionTables, invert_pixels
+
+
+def test_nearest_index_matches_argmin():
+    grid = np.linspace(16.0, 66.0, 51)
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        rng.uniform(10, 70, 500),
+        grid[:5] + 0.5,          # exact midpoints: tie -> lower index
+        np.array([np.nan, 15.0, 67.0]),
+    ])
+    got = np.asarray(nearest_index_sorted(jnp.asarray(grid), jnp.asarray(vals)))
+    for v, g in zip(vals, got):
+        if np.isnan(v):
+            assert g == 0
+        else:
+            assert g == np.argmin(np.abs(grid - v)), (v, g)
+
+
+def test_bucket_by_band_structure():
+    rng = np.random.default_rng(1)
+    n, n_bands, block = 1000, 7, 64
+    band = jnp.asarray(rng.integers(0, n_bands, size=n), dtype=jnp.int32)
+    perm, band_of_block = bucket_by_band(band, n_bands=n_bands, block=block)
+    perm = np.asarray(perm)
+    bob = np.asarray(band_of_block)
+    band_np = np.asarray(band)
+
+    # every real pixel appears exactly once
+    real = perm[perm >= 0]
+    assert sorted(real.tolist()) == list(range(n))
+    # every pixel lies in a block of its own band
+    for b in range(len(bob)):
+        blk = perm[b * block:(b + 1) * block]
+        for p in blk[blk >= 0]:
+            assert band_np[p] == bob[b]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_matches_exact_mode(seed):
+    """Interpreter-mode kernel result == exact XLA path (same f32 tables)."""
+    kwargs = dict(inc_step=0.5, wspd_step=0.5, phi_step=5.0)
+    lut_co = get_model("gmf_cmod5n").to_lut(units="dB", **kwargs)
+    lut_cr = get_model("gmf_s1_v2").to_lut(units="dB", **kwargs)
+    tables = InversionTables(lut_co, lut_cr, dtype=jnp.float32)
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    inc = rng.uniform(17.0, 60.0, n)
+    speed = rng.uniform(1.0, 28.0, n)
+    direc = rng.uniform(-np.pi, np.pi, n)
+    s0_co_db = 10 * np.log10(
+        np.asarray(get_model("gmf_cmod5n")(inc, speed, np.abs(np.rad2deg(direc)),
+                                           broadcast=True)) + 1e-15)
+    s0_cr_db = 10 * np.log10(
+        np.asarray(get_model("gmf_s1_v2")(inc, speed, broadcast=True)) + 1e-15)
+    anc = (speed + rng.normal(0, 2, n)).clip(0.3) * np.exp(1j * direc)
+    dsig_cr = rng.uniform(0.1, 1.0, n)
+    # NaN pixels
+    inc[0] = np.nan
+    s0_co_db[1] = np.nan
+    anc[2] = np.nan
+    s0_cr_db[3] = np.nan
+
+    co_e, dual_e = invert_pixels(tables, inc, s0_co_db, s0_cr_db, dsig_cr, anc,
+                                 mode="exact")
+    co_p, dual_p = invert_pixels(tables, inc, s0_co_db, s0_cr_db, dsig_cr, anc,
+                                 mode="pallas_interpret")
+
+    # identical NaN masks
+    np.testing.assert_array_equal(np.isnan(np.abs(co_e)), np.isnan(np.abs(co_p)))
+    np.testing.assert_array_equal(np.isnan(np.abs(dual_e)), np.isnan(np.abs(dual_p)))
+    m = ~np.isnan(np.abs(co_e))
+    # f32 rounding differs slightly between the two paths ((l-s)/d vs l/d-s/d),
+    # which can flip near-tie argmins on rare pixels; speeds must agree tightly
+    sp_diff = np.abs(np.abs(co_e[m]) - np.abs(co_p[m]))
+    assert np.mean(sp_diff > 1e-6) < 0.02
+    assert np.sqrt(np.mean(sp_diff ** 2)) < 1e-3
+    md = ~np.isnan(np.abs(dual_e))
+    sd = np.abs(np.abs(dual_e[md]) - np.abs(dual_p[md]))
+    assert np.sqrt(np.mean(sd ** 2)) < 1e-3

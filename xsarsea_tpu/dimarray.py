@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["DimArray"]
+__all__ = ["DimArray", "DimDataset"]
 
 
 def _as_index_array(c):
@@ -477,6 +477,121 @@ class DimArray:
         c = np.asarray(self.coords[dim], dtype=np.float64)
         d = np.diff(c)
         return float(d[0]) if len(d) else 1.0
+
+
+class DimDataset:
+    """Minimal named collection of DimArrays sharing coordinates.
+
+    Stands in for the xarray.Dataset objects the reference gradients
+    pipeline returns (e.g. gradients.py:120-125): variable access by key or
+    attribute, shared isel/sel, concat along a new or existing dim.
+    """
+
+    def __init__(self, variables=None, attrs=None):
+        self.variables = dict(variables or {})
+        self.attrs = dict(attrs or {})
+
+    def __getitem__(self, key):
+        return self.variables[key]
+
+    def __setitem__(self, key, value):
+        self.variables[key] = value
+
+    def __contains__(self, key):
+        return key in self.variables
+
+    def __getattr__(self, key):
+        variables = object.__getattribute__(self, "variables")
+        if key in variables:
+            return variables[key]
+        raise AttributeError(key)
+
+    def __repr__(self):
+        return f"<DimDataset vars={list(self.variables)}>"
+
+    @property
+    def dims(self):
+        out = {}
+        for v in self.variables.values():
+            out.update(v.sizes)
+        return out
+
+    def isel(self, indexers=None, **kwargs):
+        indexers = dict(indexers or {})
+        indexers.update(kwargs)
+        return DimDataset(
+            {
+                k: v.isel({d: i for d, i in indexers.items() if d in v.dims})
+                for k, v in self.variables.items()
+            },
+            attrs=self.attrs,
+        )
+
+    def sel(self, indexers=None, method=None, **kwargs):
+        indexers = dict(indexers or {})
+        indexers.update(kwargs)
+        return DimDataset(
+            {
+                k: v.sel({d: i for d, i in indexers.items() if d in v.coords},
+                         method=method)
+                for k, v in self.variables.items()
+            },
+            attrs=self.attrs,
+        )
+
+    def interp(self, indexers=None, **kwargs):
+        indexers = dict(indexers or {})
+        indexers.update(kwargs)
+        return DimDataset(
+            {
+                k: v.interp({d: i for d, i in indexers.items() if d in v.dims})
+                for k, v in self.variables.items()
+            },
+            attrs=self.attrs,
+        )
+
+    def expand_dims(self, dims):
+        return DimDataset(
+            {k: v.expand_dims(dims) for k, v in self.variables.items()},
+            attrs=self.attrs,
+        )
+
+    def assign_coords(self, **coords):
+        return DimDataset(
+            {k: v.assign_coords(**{c: val for c, val in coords.items()})
+             for k, v in self.variables.items()},
+            attrs=self.attrs,
+        )
+
+    def mean(self, dim):
+        return DimDataset(
+            {k: v.mean(dim=[d for d in (dim if isinstance(dim, (list, tuple)) else [dim])
+                            if d in v.dims]) if any(
+                d in v.dims for d in (dim if isinstance(dim, (list, tuple)) else [dim])
+            ) else v for k, v in self.variables.items()},
+            attrs=self.attrs,
+        )
+
+    @staticmethod
+    def concat(datasets, dim):
+        """Stack datasets along a new dim (like xr.concat with a new dim)."""
+        import numpy as _np
+
+        out = {}
+        keys = datasets[0].variables.keys()
+        for k in keys:
+            arrs = [ds[k] for ds in datasets]
+            first = arrs[0]
+            xp = jnp if isinstance(first.data, jax.Array) else _np
+            data = xp.stack([a.data for a in arrs], axis=0)
+            out[k] = DimArray(
+                data,
+                dims=(dim,) + first.dims,
+                coords=first.coords,
+                attrs=first.attrs,
+                name=first.name,
+            )
+        return DimDataset(out, attrs=datasets[0].attrs)
 
 
 def _align(a: DimArray, b: DimArray):

@@ -1,0 +1,581 @@
+"""Wind-streak direction analysis (Koch 2004), TPU-native.
+
+Re-design of the reference gradients pipeline
+(``/root/reference/src/xsarsea/gradients.py``, after W. Koch, "Directional
+analysis of SAR images aiming at wind direction", IEEE TGRS 42(4), 2004):
+
+* the OpenCV Scharr stencils, B-spline smoothers and the anti-moiré R2
+  pyramid lower to ``lax.conv`` (:mod:`xsarsea_tpu.ops.conv2d`);
+* cv2 INTER_AREA multiscale resampling becomes fractional-area weight
+  matmuls on the MXU;
+* the per-window direction histograms (72 bins over [-pi/2, pi/2], weights
+  ``r*c`` with the data-dependent median of |G2|) are computed for ALL
+  windows at once: windows are gathered with vmapped dynamic slices and the
+  scatter-add binning becomes a single segment scatter-add under jit —
+  replacing the reference's ``xr.rolling(...).construct`` +
+  ``apply_ufunc(vectorize=True)`` python loop (gradients.py:102-116,
+  151-160, 828-879).
+
+Containers are :class:`~xsarsea_tpu.dimarray.DimArray` /
+:class:`~xsarsea_tpu.dimarray.DimDataset` (the reference uses xarray).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from xsarsea_tpu.dimarray import DimArray, DimDataset
+from xsarsea_tpu.ops.conv2d import (
+    B2_KERNEL,
+    conv2d_same,
+    local_mean,
+    r2_reduce,
+    resize_area,
+    scharr,
+    smooth_b2,
+    zoom_bilinear,
+)
+
+logger = logging.getLogger("xsarsea_tpu.gradients")
+
+__all__ = [
+    "Gradients",
+    "Gradients2D",
+    "StackedGradients",
+    "local_gradients",
+    "circ_smooth",
+    "circ_hist",
+    "filtering_parameters",
+    "PlotGradients",
+    "R2",
+    "Mean",
+    "smoothing",
+]
+
+
+def _as_da(x, dims=("line", "sample")):
+    if isinstance(x, DimArray):
+        missing = {d: np.arange(x.sizes[d]) for d in x.dims if d not in x.coords}
+        return x.assign_coords(**missing) if missing else x
+    x = np.asarray(x) if not hasattr(x, "dtype") else x
+    return DimArray(x, dims=dims,
+                    coords={d: np.arange(s) for d, s in zip(dims, x.shape)})
+
+
+def _coord_step(coord):
+    """Reference spacing estimator: np.unique(np.diff(ax))[0]."""
+    return float(np.unique(np.diff(np.asarray(coord, dtype=np.float64)))[0])
+
+
+# ------------------------------------------------------------ basic filters
+
+def R2(image):
+    """Reduce by 2 without moiré (B4 pre-smooth, trim-mean, B2 post-smooth).
+
+    DimArray coords are block-averaged like xarray's coarsen
+    (gradients.py:689-721).
+    """
+    da = _as_da(image)
+    from xsarsea_tpu.ops.conv2d import B4_KERNEL
+
+    x = conv2d_same(da.data, B4_KERNEL, boundary="symm")
+    tmp = da.copy(data=x).coarsen_mean({"line": 2, "sample": 2})
+    out = conv2d_same(tmp.data, B2_KERNEL, boundary="symm")
+    return tmp.copy(data=out)
+
+
+def smoothing(image):
+    """B2 smoothing (gradients.py:675-686)."""
+    da = _as_da(image)
+    return da.copy(data=smooth_b2(da.data))
+
+
+def Mean(image):
+    """Local mean operator (B4 then B42 smoothing, gradients.py:724-755)."""
+    da = _as_da(image)
+    return da.copy(data=local_mean(da.data))
+
+
+def local_gradients(image):
+    """Local squared gradients with quality index (gradients.py:588-634).
+
+    Returns a DimDataset with variables:
+
+    * ``G2`` — complex gradients, sqrt of the R2-reduced squared Scharr
+      gradient (angles in [-pi/2, pi/2], 180°-ambiguous);
+    * ``G3`` — R2 of |G²| (gradient energy);
+    * ``c``  — quality index |R2(G²)| / G3, clipped to [0, 1].
+    """
+    da = _as_da(image)
+    grad_r = scharr(da.data, axis=1)
+    grad_i = scharr(da.data, axis=0)
+    grad12 = (grad_r + 1j * grad_i) ** 2
+
+    grad2 = R2(da.copy(data=grad12))
+    grad3 = R2(da.copy(data=jnp.abs(grad12)))
+    c_data = jnp.abs(grad2.data) / (grad3.data + 0.00001)
+    c_data = jnp.where(c_data <= 1.0, c_data, 0.0)
+
+    return DimDataset({
+        "G2": grad2.copy(data=jnp.sqrt(grad2.data)).rename("G2"),
+        "G3": grad3.rename("G3"),
+        "c": grad2.copy(data=c_data).rename("c"),
+    })
+
+
+# ------------------------------------------------- windowed histogram kernel
+
+@jax.jit
+def _histogram_windows(g2_win, c_win, angles_bins):
+    """Direction histograms for a batch of windows.
+
+    g2_win: (nwin, wpix) complex; c_win: (nwin, wpix) real;
+    angles_bins: (n_angles,) bin centers. Returns (hist (nwin, n_angles),
+    used_ratio (nwin,)). Faithful to gradient_histogram
+    (gradients.py:828-879): weights ``r*c`` with r = |g2|/(|g2|+median|g2|)
+    over the window's valid pixels; bin k = round((angle-start)/step).
+    """
+    n_angles = angles_bins.shape[0]
+    nwin, wpix = g2_win.shape
+
+    abs_g2 = jnp.abs(g2_win)
+    mask1 = (~jnp.isnan(abs_g2)) & (abs_g2 > 0)
+
+    # masked median of |g2| per window
+    vals = jnp.where(mask1, abs_g2, jnp.inf)
+    svals = jnp.sort(vals, axis=1)
+    n = mask1.sum(axis=1)
+    lo = jnp.take_along_axis(svals, jnp.clip((n - 1) // 2, 0)[:, None], axis=1)[:, 0]
+    hi = jnp.take_along_axis(svals, jnp.clip(n // 2, 0)[:, None], axis=1)[:, 0]
+    med = jnp.where(n > 0, (lo + hi) / 2.0, jnp.nan)
+
+    angle = jnp.angle(g2_win)
+    step = angles_bins[1] - angles_bins[0]
+    start = angles_bins[0]
+    k = jnp.round((angle - start) / step)
+
+    r = abs_g2 / (abs_g2 + med[:, None])
+    w = r * c_win
+    mask2 = mask1 & (~jnp.isnan(k)) & (~jnp.isnan(w))
+    wm = jnp.where(mask2, w, 0.0)
+    # the reference would crash on the k == n_angles edge (angle exactly
+    # +pi/2); clip into the last bin instead
+    ki = jnp.clip(k, 0, n_angles - 1).astype(jnp.int32)
+
+    flat_idx = (jnp.arange(nwin, dtype=jnp.int32)[:, None] * n_angles + ki).reshape(-1)
+    hist = jnp.zeros((nwin * n_angles,), wm.dtype).at[flat_idx].add(wm.reshape(-1))
+    hist = hist.reshape(nwin, n_angles)
+    ratio = n / wpix
+    return hist, ratio
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _extract_windows(arr, centers_l, centers_s, pad_before, window):
+    """Gather centered windows with NaN padding outside the borders.
+
+    Window anchoring matches xarray rolling(center=True).construct:
+    start index = center - (window-1)//2.
+    """
+    fill = jnp.asarray(np.nan, dtype=arr.dtype) if jnp.issubdtype(
+        arr.dtype, jnp.floating
+    ) else jnp.asarray(np.nan + np.nan * 1j, dtype=arr.dtype)
+    padded = jnp.pad(arr, pad_before, constant_values=fill)
+
+    def one(cl, cs):
+        return lax.dynamic_slice(padded, (cl, cs), (window, window))
+
+    cl = centers_l + pad_before - (window - 1) // 2
+    cs = centers_s + pad_before - (window - 1) // 2
+    ll, ss = jnp.meshgrid(cl, cs, indexing="ij")
+    wins = jax.vmap(one)(ll.reshape(-1), ss.reshape(-1))
+    return wins.reshape(len(centers_l) * len(centers_s), window * window)
+
+
+# --------------------------------------------------------------- Gradients2D
+
+class Gradients2D:
+    """Single-pol, single-scale gradients analysis (gradients.py:45-205).
+
+    Parameters mirror the reference: ``window_size`` is expressed in the
+    coordinate units of ``sigma0`` (so it is resolution-independent),
+    ``window_step`` the sliding overlap (1 = non-overlapping), or
+    ``windows_at`` an explicit dict of window-center coordinates.
+    """
+
+    def __init__(self, sigma0, window_size=1600, window_step=None, windows_at=None):
+        if window_step is not None and windows_at is not None:
+            raise ValueError("window_step and windows_at are mutually exclusive")
+        if window_step is None and windows_at is None:
+            window_step = 1
+        self.sigma0 = _as_da(sigma0)
+        self.window_size = window_size
+        self.window_step = window_step
+        self._windows_at = windows_at
+        self.n_angles = 72
+        self._lg = None
+
+    @property
+    def i2(self):
+        """sigma0 reduced by 2, no moiré."""
+        return R2(self.sigma0)
+
+    @property
+    def ampl(self):
+        i2 = self.i2
+        return i2.copy(data=jnp.sqrt(i2.data))
+
+    @property
+    def local_gradients(self):
+        if self._lg is None:
+            self._lg = local_gradients(self.ampl)
+        return self._lg
+
+    @property
+    def windows_at(self):
+        """Window center coordinates dict {'line': ..., 'sample': ...}."""
+        if self._windows_at is None and self.window_step is not None:
+            ws_px = int(np.mean([
+                self.window_size / _coord_step(self.sigma0.coords[d])
+                for d in ("line", "sample")
+            ]))
+            step = int(ws_px * self.window_step)
+            self._windows_at = {
+                "line": np.asarray(self.sigma0.coords["line"][::step]),
+                "sample": np.asarray(self.sigma0.coords["sample"][::step]),
+            }
+        return self._windows_at
+
+    @windows_at.setter
+    def windows_at(self, value):
+        self._windows_at = value
+
+    @property
+    def histogram(self):
+        """Per-window direction histogram as a DimDataset (weight, used_ratio).
+
+        Equivalent of the reference histogram property (gradients.py:89-125)
+        including the extra-bin suppression and window-pixel normalization.
+        """
+        lg = self.local_gradients
+        g2, c = lg["G2"], lg["c"]
+
+        # window size in lg pixels (gradients.py:151-158)
+        win = int(np.mean([
+            self.window_size / _coord_step(g2.coords[d]) for d in ("line", "sample")
+        ]))
+
+        at = self.windows_at
+        # nearest lg pixel per requested center
+        cl = np.abs(
+            np.asarray(g2.coords["line"])[None, :] - np.asarray(at["line"])[:, None]
+        ).argmin(axis=1)
+        cs = np.abs(
+            np.asarray(g2.coords["sample"])[None, :] - np.asarray(at["sample"])[:, None]
+        ).argmin(axis=1)
+
+        angles_bins = np.linspace(-np.pi / 2, np.pi / 2, self.n_angles + 1)
+        angles_bins = (angles_bins[1:] + angles_bins[:-1]) / 2  # bin centers
+
+        g2_w = _extract_windows(jnp.asarray(g2.data), jnp.asarray(cl), jnp.asarray(cs),
+                                win, win)
+        c_w = _extract_windows(jnp.asarray(c.data), jnp.asarray(cl), jnp.asarray(cs),
+                               win, win)
+        hist, ratio = _histogram_windows(g2_w, c_w, jnp.asarray(angles_bins))
+
+        nl, ns = len(cl), len(cs)
+        coords = {"line": np.asarray(at["line"]), "sample": np.asarray(at["sample"]),
+                  "angles": angles_bins}
+        # carry non-dim coords (pol / downscale_factor / window_size scalars)
+        for k, v in self.sigma0.coords.items():
+            if k not in ("line", "sample"):
+                coords[k] = v
+        weight = DimArray(
+            hist.reshape(nl, ns, self.n_angles) / (win * win),
+            dims=("line", "sample", "angles"), coords=coords, name="weight",
+        )
+        used = DimArray(
+            jnp.nan_to_num(ratio.reshape(nl, ns)),
+            dims=("line", "sample"), coords=coords, name="used_ratio",
+        )
+        return DimDataset({"weight": weight, "used_ratio": used})
+
+
+class StackedGradients:
+    """Stack several Gradients2D along a 'stacked' dim (gradients.py:208-245).
+
+    All windows are aligned onto the first instance's centers; other
+    histograms are linearly interpolated onto them.
+    """
+
+    def __init__(self, gradients):
+        self._ref = gradients[0]
+        self._others = gradients[1:]
+        for g in self._others:
+            g.windows_at = self._ref.windows_at
+
+    @property
+    def histogram(self):
+        ref_hist = self._ref.histogram
+        line = ref_hist["weight"].coords["line"]
+        sample = ref_hist["weight"].coords["sample"]
+        aligned = [
+            g.histogram.interp(line=line, sample=sample) for g in self._others
+        ]
+        return DimDataset.concat([ref_hist] + aligned, dim="stacked")
+
+
+class Gradients:
+    """Multiscale, multi-resolution weighted direction histograms.
+
+    Mirrors the reference fan-out (gradients.py:248-334): for every
+    pol x downscale_factor, sigma0 is INTER_AREA-resampled and analyzed at
+    every window size; all histograms are aligned on the first instance's
+    window grid. ``.histogram`` has dims (pol, downscale_factor,
+    window_size, line, sample, angles).
+    """
+
+    def __init__(self, sigma0, windows_sizes=[1600], downscales_factors=[1],
+                 window_step=1):
+        sigma0 = _as_da(sigma0) if not isinstance(sigma0, DimArray) else sigma0
+        self._drop_pol = False
+        if "pol" not in sigma0.dims:
+            sigma0 = sigma0.expand_dims("pol")
+            if "pol" not in sigma0.coords:
+                sigma0 = sigma0.assign_coords(pol=np.array(["pol0"]))
+            self._drop_pol = True
+        self.sigma0 = sigma0
+        self.windows_sizes = list(windows_sizes)
+        self.downscales_factors = list(downscales_factors)
+
+        self.gradients_list = []
+        self._combos = []
+        pols = np.asarray(sigma0.coords.get("pol", np.arange(sigma0.sizes["pol"])))
+        for ip, p in enumerate(pols):
+            for df in self.downscales_factors:
+                s0 = Gradients._sigma0_resample(sigma0.isel(pol=ip), df)
+                for ws in self.windows_sizes:
+                    self.gradients_list.append(Gradients2D(s0, window_size=ws))
+                    self._combos.append((p, df, ws))
+        self.gradients_list[0].window_step = window_step
+        self.stacked_gradients = StackedGradients(self.gradients_list)
+
+    @property
+    def histogram(self):
+        stacked = self.stacked_gradients.histogram
+        npol = len(np.unique([c[0] for c in self._combos]))
+        ndf = len(self.downscales_factors)
+        nws = len(self.windows_sizes)
+
+        out = {}
+        for name, var in stacked.variables.items():
+            data = var.data.reshape((npol, ndf, nws) + var.shape[1:])
+            coords = {k: v for k, v in var.coords.items()}
+            coords["pol"] = np.asarray(
+                self.sigma0.coords.get("pol", np.arange(npol)))
+            coords["downscale_factor"] = np.asarray(self.downscales_factors)
+            coords["window_size"] = np.asarray(self.windows_sizes)
+            dims = ("pol", "downscale_factor", "window_size") + var.dims[1:]
+            out[name] = DimArray(data, dims=dims, coords=coords, name=name)
+        ds = DimDataset(out)
+        if self._drop_pol:
+            ds = ds.isel(pol=0)
+        return ds
+
+    @staticmethod
+    def _sigma0_resample(sigma0, factor):
+        """INTER_AREA downscale by integer factor with averaged coords
+        (gradients.py:336-362)."""
+        if factor == 1:
+            return sigma0
+        target = (sigma0.sizes["line"] // factor, sigma0.sizes["sample"] // factor)
+        data = resize_area(jnp.asarray(sigma0.data), target)
+
+        def blocked_mean(c):
+            c = np.asarray(c, dtype=np.float64)
+            n = (len(c) // factor) * factor
+            return c[:n].reshape(-1, factor).mean(axis=1)
+
+        coords = {k: v for k, v in sigma0.coords.items()
+                  if k not in ("line", "sample")}
+        coords["line"] = blocked_mean(sigma0.coords["line"])
+        coords["sample"] = blocked_mean(sigma0.coords["sample"])
+        out = DimArray(data, dims=("line", "sample"), coords=coords,
+                       attrs=sigma0.attrs)
+        return out.assign_coords(downscale_factor=np.asarray(factor))
+
+
+# ------------------------------------------------------------ postprocessing
+
+def circ_smooth(hist):
+    """Circular smoothing of the angle histogram with Bx..Bx8 kernels.
+
+    Wrap-padded cascade of 1-D convolutions (gradients.py:882-923); lowers
+    to lax.conv on the flattened batch.
+    """
+    Bx = np.array([1, 2, 1], float) / 4
+    Bx2 = np.array([1, 0, 2, 0, 1], float) / 4
+    Bx4 = np.array([1, 0, 0, 0, 2, 0, 0, 0, 1], float) / 4
+    Bx8 = np.array([1, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 1], float) / 4
+    Bs = [Bx, Bx2, Bx4, Bx8]
+    pad = max(len(B) for B in Bs)
+
+    da = hist if isinstance(hist, DimArray) else _as_da(hist, dims=("angles",))
+    ax = da.dims.index("angles")
+    data = jnp.moveaxis(jnp.asarray(da.data), ax, -1)
+    shape = data.shape
+    n = shape[-1]
+    flat = data.reshape(-1, n)
+    flat = jnp.pad(flat, ((0, 0), (pad, pad)), mode="wrap")
+
+    for B in Bs:
+        k = jnp.asarray(B[::-1], dtype=flat.dtype)  # true convolution
+        kl = len(B)
+        p0, p1 = (kl - 1) // 2, kl // 2
+        x = jnp.pad(flat, ((0, 0), (p0, p1)))
+        flat = lax.conv_general_dilated(
+            x[:, None, :], k[None, None, :], window_strides=(1,), padding="VALID"
+        )[:, 0, :]
+
+    flat = flat[:, pad:-pad]
+    out = jnp.moveaxis(flat.reshape(shape), -1, ax)
+    return da.copy(data=out)
+
+
+def circ_hist(hist_at):
+    """One histogram (angles mod pi) -> closed 2-pi polygon DataFrame.
+
+    Same output contract as the reference circ_hist (gradients.py:926-958):
+    a pandas.DataFrame with ['line_g', 'sample_g'] columns tracing the
+    circular histogram through central symmetry.
+    """
+    import pandas as pd
+
+    da = hist_at if isinstance(hist_at, DimArray) else _as_da(hist_at, dims=("angles",))
+    w = np.asarray(da.data).reshape(-1)
+    ang = np.asarray(da.coords["angles"], dtype=np.float64)
+    z = w * np.exp(1j * ang)
+    z = np.concatenate([z, -z])
+    df = pd.DataFrame({"line_g": np.imag(z), "sample_g": np.real(z)})
+    return pd.concat([df, pd.DataFrame(df.iloc[[0]])])
+
+
+def filtering_parameters(image_ori):
+    """Rain/quality mask parameters f1..f4 and F (Zhao et al. 2021).
+
+    Faithful to the reference implementation (gradients.py:758-825):
+    texture (P1), high-frequency residual (P2), gradient-energy contrast
+    (P3) and gradient quality (P4), affinely mapped and clipped to [0, 1].
+    """
+    da = _as_da(image_ori)
+    image = da.copy(data=jnp.sqrt(da.data))
+
+    r2 = R2(image)
+    lg = local_gradients(image)
+    G3, c = lg["G3"], lg["c"]
+    J = Mean(r2)
+
+    J1 = Mean(r2.copy(data=r2.data ** 2))
+    J2 = jnp.sqrt(J1.data - J.data ** 2)
+    P1 = J2 / (J.data + 0.00001)
+    a1, b1 = -50.0, 2.75
+
+    resampl = r2.coarsen_mean({"line": 2, "sample": 2})
+    up = zoom_bilinear(smoothing(resampl).data, r2.shape)
+    K = r2.data - up
+    P2 = K ** 2 / (J.data ** 2 + 0.00001)
+    a2, b2 = -5000.0, 3.0
+
+    G4 = Mean(G3)
+    P3 = G3.data / (G4.data + 0.00001)
+    a3, b3 = -2.5, 4.0
+
+    P4 = jnp.sqrt(c.data)
+    a4, b4 = -10.0, 6.3
+
+    f1 = jnp.clip(a1 * P1 + b1, 0, 1)
+    f2 = jnp.clip(a2 * P2 + b2, 0, 1)
+    f3 = jnp.clip(a3 * P3 + b3, 0, 1)
+    f4 = jnp.clip(a4 * P4 + b4, 0, 1)
+    F = jnp.sqrt((f1 ** 2 + f2 ** 2 + f3 ** 2 + f4 ** 2) / 4.0)
+    if F.shape == np.shape(image_ori):
+        F = jnp.where(F < 0.0015, 0.0, F)
+
+    wrap = r2.copy
+    return wrap(data=f1), wrap(data=f2), wrap(data=f3), wrap(data=f4), wrap(data=F)
+
+
+class PlotGradients:
+    """Histogram-peak visualization (matplotlib backend).
+
+    The reference uses holoviews/panel for interactive plots
+    (gradients.py:365-585); this implementation computes the same peak
+    dataset (max-weight angle per window) and renders static matplotlib
+    quiver / circular-histogram views.
+    """
+
+    def __init__(self, gradients_hist):
+        self.gradients_hist = gradients_hist
+        w = gradients_hist["weight"]
+        weights = jnp.nan_to_num(jnp.abs(jnp.asarray(w.data)))
+        ax = w.dims.index("angles")
+        iangle = np.asarray(jnp.argmax(weights, axis=ax))
+        angles = np.asarray(w.coords["angles"])
+        peak_angle = angles[iangle]
+        peak_weight = np.take_along_axis(
+            np.asarray(w.data), iangle[..., None], axis=ax
+        )[..., 0]
+        dims = tuple(d for d in w.dims if d != "angles")
+        coords = {k: v for k, v in w.coords.items() if k != "angles"}
+        self.peak = DimDataset({
+            "angle": DimArray(peak_angle, dims=dims, coords=coords),
+            "weight": DimArray(peak_weight, dims=dims, coords=coords),
+            "used_ratio": gradients_hist["used_ratio"],
+        })
+
+    def vectorfield(self, ax=None, scale=None):
+        """Quiver plot of histogram peak directions (180°-ambiguous)."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots()
+        angle = np.asarray(self.peak["angle"].data)
+        weight = np.asarray(self.peak["weight"].data)
+        # reduce any leading non-spatial dims by taking the first index
+        while angle.ndim > 2:
+            angle, weight = angle[0], weight[0]
+        line = np.asarray(self.peak["angle"].coords["line"])
+        sample = np.asarray(self.peak["angle"].coords["sample"])
+        ss, ll = np.meshgrid(sample, line)
+        u = weight * np.cos(angle)
+        v = weight * np.sin(angle)
+        ax.quiver(ss, ll, u, v, pivot="mid", headwidth=0, headlength=0,
+                  headaxislength=0, scale=scale)
+        ax.set_xlabel("sample")
+        ax.set_ylabel("line")
+        return ax
+
+    def histogram_plot(self, line=None, sample=None, ax=None):
+        """Circular histogram at the window nearest (line, sample)."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots()
+        hist_at = self.gradients_hist.sel(line=line, sample=sample, method="nearest")
+        w = hist_at["weight"]
+        data = np.asarray(w.data)
+        while data.ndim > 1:
+            data = data[0]
+        pts = circ_hist(DimArray(data, dims=("angles",),
+                                 coords={"angles": w.coords["angles"]}))
+        ax.plot(pts["sample_g"], pts["line_g"])
+        ax.set_aspect("equal")
+        return ax

@@ -56,12 +56,39 @@ D_AZI = 2.0
 DWSPD_FG = 2.0
 
 
+@jax.tree_util.register_pytree_node_class
 class InversionTables:
     """Device-resident LUT tables prepared for the inversion kernel.
 
     copol LUT is stored as (incidence, wspd, phi) in dB with precomputed
-    wind-component grids; crosspol as (incidence, wspd) in dB.
+    wind-component grids; crosspol as (incidence, wspd) in dB. Registered
+    as a JAX pytree so tables enter jitted programs as runtime buffers —
+    never as trace-time constants embedded in the HLO.
     """
+
+    _CO_FIELDS = ("co_lut", "co_inc", "co_wspd", "co_phi", "co_u", "co_v", "co_phir")
+    _CR_FIELDS = ("cr_lut", "cr_inc", "cr_wspd")
+
+    def tree_flatten(self):
+        fields = (self._CO_FIELDS if self.has_co else ()) + (
+            self._CR_FIELDS if self.has_cr else ()
+        )
+        children = tuple(getattr(self, f) for f in fields)
+        aux = (self.has_co, self.has_cr, getattr(self, "phi_180", None),
+               jnp.dtype(self.dtype).name, fields)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.has_co, obj.has_cr, phi_180, dtype_name, fields = aux
+        if phi_180 is not None:
+            obj.phi_180 = phi_180
+        obj.dtype = jnp.dtype(dtype_name).type
+        for f, c in zip(fields, children):
+            setattr(obj, f, c)
+        obj._coarse = None
+        return obj
 
     def __init__(self, lut_co_db=None, lut_cr_db=None, dtype=jnp.float32):
         self.dtype = dtype
@@ -161,17 +188,18 @@ def _copol_solution(tables: InversionTables, i_inc, s0_co_db, ma, mz, dsig_co):
     iw, ip = flat_idx // j.shape[-1], flat_idx % j.shape[-1]
     wspd = tables.co_wspd[iw]
     phir = tables.co_phir[ip]
+    return wspd, _disambiguate_phi(tables, phir, ma, mz)
 
-    if tables.phi_180:
-        # ±phi ambiguity: pick the sign closest to the ancillary direction
-        # (windspeed.py:234-245)
-        anc_ang = jnp.arctan2(mz, ma)
-        d1 = jnp.abs(_wrap_angle(anc_ang - phir))
-        d2 = jnp.abs(_wrap_angle(anc_ang + phir))
-        phi_signed = jnp.where(d1 <= d2, phir, -phir)
-    else:
-        phi_signed = phir
-    return wspd, phi_signed
+
+def _disambiguate_phi(tables: InversionTables, phir, ma, mz):
+    """±phi ambiguity for symmetric LUTs: pick the sign closest to the
+    ancillary direction (windspeed.py:234-245)."""
+    if not tables.phi_180:
+        return phir
+    anc_ang = jnp.arctan2(mz, ma)
+    d1 = jnp.abs(_wrap_angle(anc_ang - phir))
+    d2 = jnp.abs(_wrap_angle(anc_ang + phir))
+    return jnp.where(d1 <= d2, phir, -phir)
 
 
 def _crosspol_solution(tables: InversionTables, i_inc_cr, s0_cr_db, dsig_cr, wspd_co):
@@ -192,16 +220,29 @@ def _invert_pixel(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
     including the NaN guard ordering.
     """
     nan = jnp.asarray(jnp.nan, dtype=inc.dtype)
-
-    # --- copol
     if tables.has_co:
         i_inc = _nearest_index(tables.co_inc, inc)
         wspd_co, phi_co = _copol_solution(tables, i_inc, s0_co_db, anc_re, anc_im, dsig_co)
+    else:
+        wspd_co, phi_co = nan, nan
+    return _postprocess_pixel(tables, inc, s0_co_db, s0_cr_db, dsig_cr,
+                              anc_re, anc_im, wspd_co, phi_co)
+
+
+def _postprocess_pixel(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
+                       anc_re, anc_im, wspd_co, phi_co):
+    """Masking + crosspol + NaN guards, shared by the XLA and Pallas paths.
+
+    (wspd_co, phi_co) is the raw copol solution; may be garbage when the
+    pixel has no valid copol observation — it is masked here.
+    """
+    nan = jnp.asarray(jnp.nan, dtype=inc.dtype)
+
+    # --- copol validity
+    if tables.has_co:
         co_valid = ~jnp.isnan(s0_co_db)
         wspd_co = jnp.where(co_valid, wspd_co, nan)
         phi_co = jnp.where(co_valid, phi_co, nan)
-    else:
-        wspd_co, phi_co = nan, nan
 
     co_re = wspd_co * jnp.cos(phi_co)
     co_im = wspd_co * jnp.sin(phi_co)
@@ -233,9 +274,15 @@ def _invert_pixel(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
 
 
 def _make_invert_fn(tables: InversionTables, chunk_size=256):
-    """Build the jitted flat-pixel inversion function for these tables."""
+    """Build the jitted flat-pixel inversion function for these tables.
 
-    def invert_flat(inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im, dsig_co):
+    The LUT tables are passed as jit *arguments* (via the pytree-registered
+    InversionTables fields), never captured as closure constants — closure
+    capture would embed hundreds of MB of LUT literals into the HLO and
+    blow up compile times.
+    """
+
+    def invert_flat(tbl, inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im, dsig_co):
         n = inc.shape[0]
         pad = (-n) % chunk_size
         args = [jnp.pad(a, (0, pad), constant_values=np.nan)
@@ -243,36 +290,324 @@ def _make_invert_fn(tables: InversionTables, chunk_size=256):
         args = [a.reshape(-1, chunk_size) for a in args]
 
         pixel = lambda i, sc, sx, dc, ar, ai: _invert_pixel(
-            tables, i, sc, sx, dc, ar, ai, dsig_co
+            tbl, i, sc, sx, dc, ar, ai, dsig_co
         )
         chunk_fn = jax.vmap(pixel)
         out = lax.map(lambda xs: chunk_fn(*xs), tuple(args))
         return tuple(o.reshape(-1)[:n] for o in out)
 
-    return jax.jit(invert_flat)
+    jitted = jax.jit(invert_flat)
+
+    def run(*args):
+        return jitted(tables, *args)
+
+    return run
+
+
+# exact-refinement half-window around the kernel's argmin (wspd cells); the
+# phi dimension is re-searched in full — the stripe is contiguous in memory
+# (fast gathers) and removes any phi-drift window risk
+_REFINE_W = 8
+
+
+def _build_g4_device(tables: InversionTables, dsig_co, tile,
+                     stride_w=1, stride_p=1):
+    """Assemble the expanded-cost operand (I, n_tiles, 4, tile) on device.
+
+    The scaled LUT is centered (l' -> l' - shift, same shift applied to the
+    per-pixel s0' features) — (l-s0)^2 is shift-invariant and smaller
+    magnitudes keep the expanded form's f32 absolute error tight.
+
+    With strides > 1 the (wspd, phi) grid is subsampled (always keeping the
+    last node) for the coarse first pass of the fast mode; the returned
+    ``iw_map`` maps coarse wspd indices back to fine rows.
+    Returns (g4, lut_shift, iw_map, n_p_eff).
+    """
+    lut = jnp.asarray(tables.co_lut, dtype=jnp.float32)
+    u_full = jnp.asarray(tables.co_u, jnp.float32)
+    v_full = jnp.asarray(tables.co_v, jnp.float32)
+    I, W, P = lut.shape
+    iw_map = None
+    if stride_w != 1 or stride_p != 1:
+        iw = np.unique(np.r_[np.arange(0, W, stride_w), W - 1])
+        ip = np.unique(np.r_[np.arange(0, P, stride_p), P - 1])
+        lut = lut[:, iw][:, :, ip]
+        u_full = u_full[iw][:, ip]
+        v_full = v_full[iw][:, ip]
+        iw_map = jnp.asarray(iw, dtype=jnp.int32)
+        W, P = len(iw), len(ip)
+    wp = W * P
+    wp_pad = ((wp + tile - 1) // tile) * tile
+    n_tiles = wp_pad // tile
+
+    def flat_pad(a, n_lead):
+        a = a.reshape(n_lead, wp)
+        return jnp.pad(a, ((0, 0), (0, wp_pad - wp)))
+
+    scaled = lut / jnp.float32(dsig_co)
+    finite = jnp.isfinite(scaled)
+    shift = (jnp.max(jnp.where(finite, scaled, -jnp.inf))
+             + jnp.min(jnp.where(finite, scaled, jnp.inf))) / 2.0
+    ls = flat_pad(scaled - shift, I)
+    us = flat_pad(u_full[None] / 2.0, 1)
+    vs = flat_pad(v_full[None] / 2.0, 1)
+    q = ls * ls + us * us + vs * vs
+    # padded entries: huge q so their cost can never win
+    pad_mask = jnp.arange(wp_pad) >= wp
+    q = jnp.where(pad_mask[None, :], 1e19, q)
+
+    g4 = jnp.stack([
+        ls.reshape(I, n_tiles, tile),
+        jnp.broadcast_to(us.reshape(1, n_tiles, tile), (I, n_tiles, tile)),
+        jnp.broadcast_to(vs.reshape(1, n_tiles, tile), (I, n_tiles, tile)),
+        q.reshape(I, n_tiles, tile),
+    ], axis=2)
+    return g4, shift, iw_map, P
+
+
+def _refine_copol(tables: InversionTables, i_inc, iw0, ip0, s0_db, ma, mz_eff,
+                  dsig_co):
+    """Exact direct-form argmin on a full-phi stripe around a candidate.
+
+    Restores full f32 precision (and the np.argmin tie rule) lost to the
+    kernel's expanded-form cost. The stripe spans ±_REFINE_W wspd rows
+    (Jsig is steep in wspd, so drift there is small) and ALL phi columns
+    (contiguous rows — fast gathers — and no drift-window risk along the
+    flat phi valleys).
+    """
+    W = tables.co_wspd.shape[0]
+    P = tables.co_phir.shape[0]
+    ww = min(2 * _REFINE_W + 1, W)
+    w0 = jnp.clip(iw0 - _REFINE_W, 0, W - ww)
+
+    zero = jnp.zeros((), dtype=jnp.asarray(w0).dtype)
+    i_inc = jnp.asarray(i_inc).astype(zero.dtype)
+    lut_win = lax.dynamic_slice(tables.co_lut, (i_inc, w0, zero), (1, ww, P))[0]
+    u_win = lax.dynamic_slice(tables.co_u, (w0, zero), (ww, P))
+    v_win = lax.dynamic_slice(tables.co_v, (w0, zero), (ww, P))
+
+    j = (
+        ((lut_win - s0_db) / dsig_co) ** 2
+        + ((u_win - ma) / D_ANTENNA) ** 2
+        + ((v_win - mz_eff) / D_AZI) ** 2
+    )
+    k = jnp.argmin(j.reshape(-1))
+    return w0 + k // P, k % P
+
+
+# coarse-grid spacing for the fast mode's first pass, in physical units:
+# ~0.2 m/s in wspd (bounds the coarse argmin's wspd drift to ~1 row) and
+# ~8 deg in phi (phi drift is irrelevant — the slab refine re-searches
+# ALL phi at the chosen wspd slab)
+_COARSE_DW = 0.2
+_COARSE_DPHI = 8.0
+# fast mode uses a wider slab margin to absorb coarse-sampling drift on
+# top of the expanded-form f32 jitter (empirically: margin 16 leaves
+# ~3e-5 of pixels flipped to adjacent basins vs the full-grid pass;
+# margin 24 reproduces it exactly on 4M-pixel random-scene validation)
+_FAST_MARGIN = 24
+
+
+def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192,
+                           interpret=False, coarse=True):
+    """Pallas-accelerated inversion: bucketed matmul argmin kernel +
+    slab-refine kernel + shared XLA postprocess.
+
+    Stage 1 (expanded-form MXU argmin, coarse-subsampled grid by default
+    or the full grid with ``coarse=False``) yields a candidate wspd row
+    per pixel; stage 2 (direct-form VPU argmin over a VMEM-resident
+    full-phi slab around each candidate) restores exact f32 cost
+    precision and the np.argmin first-minimum tie rule. See
+    :mod:`xsarsea_tpu.ops.pallas_inversion` for both kernel designs.
+    """
+    from xsarsea_tpu.ops.pallas_inversion import (
+        DEFAULT_BLOCK,
+        DEFAULT_TILE,
+        SLAB_BLOCK,
+        SLAB_MARGIN,
+        WGROUP,
+        bucket_by_band,
+        build_direct_arrays,
+        copol_argmin_pallas,
+        nearest_index_sorted,
+        nearest_index_uniform,
+        slab_refine_pallas,
+    )
+    from functools import partial as _partial
+
+    block = DEFAULT_BLOCK
+    if coarse:
+        step_w = float(np.median(np.diff(np.asarray(tables.co_wspd, np.float64))))
+        step_p = float(np.median(np.diff(np.asarray(tables.co_phi, np.float64))))
+        g4_dev, lut_shift, iw_map, n_p_eff = _build_g4_device(
+            tables, float(dsig_co_val), DEFAULT_TILE,
+            stride_w=max(1, round(_COARSE_DW / step_w)),
+            stride_p=max(1, round(_COARSE_DPHI / step_p)))
+        margin = _FAST_MARGIN
+    else:
+        g4_dev, lut_shift, iw_map, n_p_eff = _build_g4_device(
+            tables, float(dsig_co_val), DEFAULT_TILE)
+        margin = SLAB_MARGIN
+    slab_rows = WGROUP + 2 * margin
+    lut_shift = float(lut_shift)
+    lut_pad, u_pad, v_pad = (jnp.asarray(a) for a in build_direct_arrays(
+        np.asarray(tables.co_lut, np.float32),
+        np.asarray(tables.co_u, np.float32),
+        np.asarray(tables.co_v, np.float32)))
+    n_inc = g4_dev.shape[0]
+    n_wspd = np.asarray(tables.co_wspd).shape[0]
+    n_phi = np.asarray(tables.co_phir).shape[0]
+    n_wgroups = (n_wspd + WGROUP - 1) // WGROUP
+    wp_rows = lut_pad.shape[1]
+    inv_dsig = 1.0 / float(dsig_co_val)
+
+    # incidence nearest-index: arithmetic path for uniform grids (the
+    # common case), gathering binary search otherwise (non-uniform NcLuts)
+    inc_np = np.asarray(tables.co_inc, dtype=np.float64)
+    inc_steps = np.diff(inc_np)
+    if inc_steps.size and np.allclose(inc_steps, inc_steps[0], rtol=1e-6, atol=0):
+        nearest_inc = _partial(nearest_index_uniform, inc_np[0],
+                               (inc_np[-1] - inc_np[0]) / (len(inc_np) - 1),
+                               len(inc_np))
+    else:
+        def nearest_inc(values, _grid=jnp.asarray(tables.co_inc)):
+            return nearest_index_sorted(_grid, values)
+
+    def invert_flat(tables, g4, iw_map, lut_pad, u_pad, v_pad,
+                    inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im, dsig_co):
+        n = inc.shape[0]
+        f32 = jnp.float32
+
+        # --- stage 1: bucket by incidence band, expanded-form argmin
+        i_inc = nearest_inc(inc)
+        perm, band_of_block = bucket_by_band(i_inc, n_bands=n_inc, block=block)
+        valid = perm >= 0
+        pidx = jnp.clip(perm, 0)
+
+        mz = jnp.abs(anc_im) if tables.phi_180 else anc_im
+        feats = jnp.stack(
+            [
+                (s0_co_db[pidx].astype(f32) * inv_dsig - lut_shift) * (-2.0),
+                anc_re[pidx].astype(f32) * (-1.0),
+                mz[pidx].astype(f32) * (-1.0),
+                jnp.ones_like(pidx, dtype=f32),
+            ],
+            axis=1,
+        )
+        feats = jnp.where(valid[:, None], feats, jnp.nan)
+
+        args = copol_argmin_pallas(
+            g4, feats, band_of_block, block=block, interpret=interpret,
+        ).reshape(-1)
+
+        flat0 = jnp.zeros((n,), jnp.int32).at[
+            jnp.where(valid, perm, n)
+        ].set(args, mode="drop")
+        iw0 = flat0 // n_p_eff
+        if iw_map is not None:  # coarse wspd index -> fine LUT row
+            iw0 = iw_map[iw0]
+
+        # --- stage 2: bucket by (band, wspd group), direct-form slab refine
+        key = i_inc * n_wgroups + iw0 // WGROUP
+        perm2, key_of_block = bucket_by_band(
+            key, n_bands=n_inc * n_wgroups, block=SLAB_BLOCK)
+        valid2 = perm2 >= 0
+        pidx2 = jnp.clip(perm2, 0)
+        feats2 = jnp.stack(
+            [
+                s0_co_db[pidx2].astype(f32),
+                anc_re[pidx2].astype(f32),
+                mz[pidx2].astype(f32),
+                jnp.full_like(pidx2, 1.0, dtype=f32) * dsig_co.astype(f32),
+            ],
+            axis=1,
+        )
+        feats2 = jnp.where(valid2[:, None], feats2, jnp.nan)
+        sband = key_of_block // n_wgroups
+        srow0 = jnp.clip((key_of_block % n_wgroups) * WGROUP - margin,
+                         0, wp_rows - slab_rows)
+
+        flat_r = slab_refine_pallas(
+            lut_pad, u_pad, v_pad, feats2, sband, srow0, n_phi,
+            block=SLAB_BLOCK, n_rows=slab_rows, interpret=interpret,
+        ).reshape(-1)
+
+        flat = jnp.zeros((n,), jnp.int32).at[
+            jnp.where(valid2, perm2, n)
+        ].set(flat_r, mode="drop")
+        flat = jnp.clip(flat, 0, n_wspd * n_phi - 1)
+        iw, ip = flat // n_phi, flat % n_phi
+
+        # --- postprocess (phi disambiguation, crosspol, NaN guards), chunked
+        def one_pixel(inc_p, s0_p, s0cr_p, dsigcr_p, are_p, aim_p, iw_p, ip_p):
+            wspd_co = tables.co_wspd[iw_p]
+            phi_co = _disambiguate_phi(tables, tables.co_phir[ip_p], are_p, aim_p)
+            return _postprocess_pixel(tables, inc_p, s0_p, s0cr_p, dsigcr_p,
+                                      are_p, aim_p, wspd_co, phi_co)
+
+        pad = (-n) % chunk_size
+        farrs = [jnp.pad(a, (0, pad), constant_values=np.nan)
+                 for a in (inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im)]
+        iarrs = [jnp.pad(a, (0, pad)) for a in (iw, ip)]
+        arrs = [a.reshape(-1, chunk_size) for a in farrs + iarrs]
+        post = jax.vmap(one_pixel)
+        out = lax.map(lambda xs: post(*xs), tuple(arrs))
+        return tuple(o.reshape(-1)[:n] for o in out)
+
+    jitted = jax.jit(invert_flat)
+
+    def run(*args):
+        return jitted(tables, g4_dev, iw_map, lut_pad, u_pad, v_pad, *args)
+
+    return run
 
 
 _invert_fn_cache = {}
 
 
-def _get_invert_fn(tables, chunk_size):
-    key = (id(tables), chunk_size)
+def _get_invert_fn(tables, chunk_size, mode="exact", dsig_co=0.1):
+    key = (id(tables), chunk_size, mode,
+           float(dsig_co) if mode.startswith("pallas") else None)
     if key not in _invert_fn_cache:
-        _invert_fn_cache[key] = _make_invert_fn(tables, chunk_size)
+        if mode == "exact":
+            _invert_fn_cache[key] = _make_invert_fn(tables, chunk_size)
+        elif mode.startswith("pallas"):
+            # the pallas postprocess only does small per-pixel gathers, so it
+            # wants much larger chunks than the exact full-grid path
+            _invert_fn_cache[key] = _make_pallas_invert_fn(
+                tables, dsig_co, max(chunk_size, 8192),
+                interpret=mode.endswith("_interpret"),
+                coarse="exact" not in mode,
+            )
+        else:
+            raise ValueError(f"unknown inversion mode '{mode}'")
     return _invert_fn_cache[key]
 
 
 def invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
-                  ancillary_wind, dsig_co=0.1, chunk_size=256):
+                  ancillary_wind, dsig_co=0.1, chunk_size=256, mode="auto"):
     """Invert flat pixel arrays against prepared tables.
 
     All inputs are 1-D arrays of the same length (sigma0 already in dB);
     ``ancillary_wind`` is complex (antenna convention). Returns
     (wind_co, wind_dual) complex arrays.
+
+    mode: 'exact' (portable full-grid argmin), 'pallas' (fused TPU
+    kernels: coarse expanded-form pass + direct-form slab refine),
+    'pallas_exact' (full-grid expanded-form pass + slab refine),
+    '*_interpret' variants (kernels in interpreter mode, for CPU
+    testing), or 'auto' (pallas on TPU when a copol table is present,
+    exact elsewhere).
     """
+    if mode == "auto":
+        mode = (
+            "pallas"
+            if tables.has_co and jax.default_backend() == "tpu"
+            else "exact"
+        )
     dtype = tables.dtype
     anc = np.asarray(ancillary_wind)
-    fn = _get_invert_fn(tables, chunk_size)
+    fn = _get_invert_fn(tables, chunk_size, mode=mode, dsig_co=dsig_co)
     co_re, co_im, du_re, du_im = fn(
         jnp.asarray(inc, dtype=dtype),
         jnp.asarray(s0_co_db, dtype=dtype),
@@ -307,6 +642,7 @@ def invert_from_model(
     dsig_cr=0.1,
     model=None,
     dtype=None,
+    mode="auto",
     **kwargs,
 ):
     """Invert sigma0 into wind speed (and direction) using GMF/LUT model(s).
@@ -389,6 +725,7 @@ def invert_from_model(
         np_dsig_cr.reshape(-1),
         np_anc.reshape(-1),
         dsig_co=dsig_co,
+        mode=mode,
     )
     wind_co = wind_co.reshape(shape)
     wind_dual = wind_dual.reshape(shape)
