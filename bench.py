@@ -1,0 +1,77 @@
+"""Headline benchmark: dual-pol Bayesian wind inversion throughput.
+
+Synthetic Sentinel-1-EW-like dual-pol scene (VV via CMOD5n + VH via
+gmf_s1_v2, high-resolution LUTs, ECMWF-like ancillary prior) inverted
+with the fused Pallas pipeline (coarse expanded-form MXU argmin +
+direct-form VPU slab refine). Matches BASELINE.json config #3.
+
+Prints ONE JSON line. ``vs_baseline`` is measured Mpx/s/chip divided by
+the north-star rate implied by BASELINE.json (10^8 px / 5 s / 8 chips
+= 2.5 Mpx/s/chip); >1.0 beats the target.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RATE = 2.5  # Mpx/s/chip: 1e8 px in 5 s on 8 chips (BASELINE.json)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from xsarsea_tpu.models import get_model
+    from xsarsea_tpu.windspeed.inversion import invert_pixels, prepare_tables
+
+    n = 1 << 23  # 8.4 Mpx
+    rng = np.random.default_rng(0)
+    inc = rng.uniform(18.0, 47.0, n)
+    wspd = rng.uniform(0.5, 45.0, n)
+    phi = rng.uniform(0.0, 360.0, n)
+
+    m_co = get_model("gmf_cmod5n")
+    m_cr = get_model("gmf_s1_v2")
+    tables = prepare_tables(m_co, m_cr, dtype=jnp.float32)
+
+    # forward-model the scene (not timed)
+    s0_co_db = 10 * np.log10(
+        np.asarray(m_co(inc, wspd, phi, broadcast=True)) + 1e-15)
+    s0_cr_db = 10 * np.log10(
+        np.asarray(m_cr(inc, wspd, broadcast=True)) + 1e-15)
+    anc = (wspd + rng.normal(0, 1.5, n)).clip(0.2) * np.exp(
+        1j * np.deg2rad(phi))
+    dsig_cr = np.full(n, 0.1)
+
+    mode = "pallas" if jax.default_backend() == "tpu" else "exact"
+    if mode == "exact":
+        n = 1 << 16  # CPU fallback: keep the run short
+        inc, s0_co_db, s0_cr_db = inc[:n], s0_co_db[:n], s0_cr_db[:n]
+        dsig_cr, anc, wspd = dsig_cr[:n], anc[:n], wspd[:n]
+
+    args = (tables, inc, s0_co_db, s0_cr_db, dsig_cr, anc)
+
+    # compile + warm caches (and fetch results for the accuracy readout)
+    co, dual = invert_pixels(*args, mode=mode)
+    # timed: host inputs -> device-resident results (downstream pipeline
+    # stages keep working on device; the d2h copy is not part of the step)
+    t0 = time.time()
+    co_d, dual_d = invert_pixels(*args, mode=mode, device_output=True)
+    jax.block_until_ready((co_d, dual_d))
+    dt = time.time() - t0
+
+    rms = float(np.sqrt(np.nanmean((np.abs(dual) - wspd) ** 2)))
+    mpx_s = n / dt / 1e6
+    print(json.dumps({
+        "metric": "dual-pol inversion throughput "
+                  f"({jax.default_backend()}, mode={mode}, "
+                  f"retrieval RMS vs truth {rms:.3f} m/s)",
+        "value": round(mpx_s, 3),
+        "unit": "Mpx/s/chip",
+        "vs_baseline": round(mpx_s / BASELINE_RATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
