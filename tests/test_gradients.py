@@ -95,8 +95,10 @@ def test_histogram_kernel_matches_reference():
         windows_g2.append(g2)
         windows_c.append(c)
 
+    g2_stack = np.stack(windows_g2)
     got_h, got_r = _histogram_windows(
-        jnp.asarray(np.stack(windows_g2)),
+        jnp.asarray(np.abs(g2_stack)),
+        jnp.asarray(np.angle(g2_stack)),
         jnp.asarray(np.stack(windows_c)),
         jnp.asarray(bins),
     )

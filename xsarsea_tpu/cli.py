@@ -1,0 +1,103 @@
+"""Command-line interface.
+
+Mirrors the reference CLI (/root/reference/src/scripts/xsarsea_cli.py):
+``models-to-nc`` exports every registered non-netCDF model to netCDF LUT
+files. Extra subcommands: ``list`` (registry table) and
+``models-to-packed`` (the packed device-ready cache format).
+
+argparse-based (the reference uses typer, which is not a dependency of
+this framework).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _register_from_args(args):
+    from xsarsea_tpu.models import register_luts
+
+    if getattr(args, "nc_lut_dir", None) or getattr(args, "cmod7_dir", None):
+        register_luts(topdir=args.nc_lut_dir, topdir_cmod7=args.cmod7_dir)
+
+
+def _models_to(export_dir, fmt, args):
+    from xsarsea_tpu.models import available_models
+    from xsarsea_tpu.models.base import LutModel
+    from xsarsea_tpu.models.nc_lut import NcLutModel
+
+    _register_from_args(args)
+    os.makedirs(export_dir, exist_ok=True)
+    prefix = LutModel._name_prefix
+    for model_name, row in available_models().iterrows():
+        model = row.model
+        if isinstance(model, NcLutModel):
+            print(f"Skipping {model_name} ({model.path})")
+            continue
+        try:
+            if fmt == "nc":
+                outfile = os.path.join(export_dir, f"{prefix}{model.name}.nc")
+                model.to_netcdf(outfile)
+            else:
+                from xsarsea_tpu.io.lut_io import write_packed_lut
+
+                outfile = os.path.join(export_dir, f"{prefix}{model.name}.xstl")
+                lut = model.to_lut(units="dB")
+                write_packed_lut(outfile, lut, lut.attrs)
+            print(f"Wrote {outfile}")
+        except Exception as e:  # noqa: BLE001 — per-model, keep exporting
+            print(f"Error processing {model.name} : {e}")
+
+
+def cmd_models_to_nc(args):
+    _models_to(args.export_dir, "nc", args)
+
+
+def cmd_models_to_packed(args):
+    _models_to(args.export_dir, "packed", args)
+
+
+def cmd_list(args):
+    from xsarsea_tpu.models import available_models
+
+    _register_from_args(args)
+    df = available_models(pol=args.pol)
+    print(df.drop(columns=["model"]).to_string())
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="xsarsea-tpu",
+        description="TPU-native SAR ocean analysis toolkit",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--nc-lut-dir", default=None,
+                        help="directory of nc_lut_*.nc LUTs to register")
+    common.add_argument("--cmod7-dir", default=None,
+                        help="CMOD7 binary LUT directory to register")
+
+    p_nc = sub.add_parser("models-to-nc", parents=[common],
+                          help="export registered models to netCDF LUTs")
+    p_nc.add_argument("export_dir", help="destination directory")
+    p_nc.set_defaults(func=cmd_models_to_nc)
+
+    p_pk = sub.add_parser("models-to-packed", parents=[common],
+                          help="export registered models to packed LUT caches")
+    p_pk.add_argument("export_dir", help="destination directory")
+    p_pk.set_defaults(func=cmd_models_to_packed)
+
+    p_ls = sub.add_parser("list", parents=[common],
+                          help="list registered models")
+    p_ls.add_argument("--pol", default=None, help="filter by polarization")
+    p_ls.set_defaults(func=cmd_list)
+
+    args = p.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

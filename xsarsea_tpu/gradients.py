@@ -102,49 +102,88 @@ def Mean(image):
     return da.copy(data=local_mean(da.data))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _device_supports_complex():
+    """Whether the default backend executes complex64 ops.
+
+    Real TPUs and CPU do; the experimental 'axon' TPU plugin doesn't —
+    and a single failed op poisons its client permanently, so this must
+    be decided from the platform string, never by probing with an op.
+    The pipeline itself never needs device complex — it carries
+    (re, im) / (abs, angle) real pairs, the natural TPU layout — but the
+    complex ``G2`` variable of the reference API is materialized when
+    possible.
+    """
+    try:
+        version = jax.devices()[0].client.platform_version
+    except Exception:  # noqa: BLE001 — no devices / odd plugin
+        return True
+    return "axon" not in version.lower()
+
+
 def local_gradients(image):
     """Local squared gradients with quality index (gradients.py:588-634).
 
     Returns a DimDataset with variables:
 
-    * ``G2`` — complex gradients, sqrt of the R2-reduced squared Scharr
-      gradient (angles in [-pi/2, pi/2], 180°-ambiguous);
+    * ``G2_abs``/``G2_angle`` — modulus and angle of the complex local
+      gradient (sqrt of the R2-reduced squared Scharr gradient; angles
+      in (-pi/2, pi/2], 180°-ambiguous). Complex arithmetic is carried
+      as real pairs on device (TPUs have no native complex; the
+      principal-branch sqrt is |z|^0.5 and angle(z)/2);
+    * ``G2`` — the complex gradient itself, on backends with complex64;
     * ``G3`` — R2 of |G²| (gradient energy);
     * ``c``  — quality index |R2(G²)| / G3, clipped to [0, 1].
     """
     da = _as_da(image)
     grad_r = scharr(da.data, axis=1)
     grad_i = scharr(da.data, axis=0)
-    grad12 = (grad_r + 1j * grad_i) ** 2
+    # (grad_r + i*grad_i)^2 as a real pair
+    re12 = grad_r * grad_r - grad_i * grad_i
+    im12 = 2.0 * grad_r * grad_i
+    abs12 = jnp.hypot(re12, im12)
 
-    grad2 = R2(da.copy(data=grad12))
-    grad3 = R2(da.copy(data=jnp.abs(grad12)))
-    c_data = jnp.abs(grad2.data) / (grad3.data + 0.00001)
+    re2 = R2(da.copy(data=re12))
+    im2 = R2(da.copy(data=im12))
+    grad3 = R2(da.copy(data=abs12))
+    abs2 = jnp.hypot(re2.data, im2.data)
+    c_data = abs2 / (grad3.data + 0.00001)
     c_data = jnp.where(c_data <= 1.0, c_data, 0.0)
 
-    return DimDataset({
-        "G2": grad2.copy(data=jnp.sqrt(grad2.data)).rename("G2"),
+    out = DimDataset({
+        "G2_abs": re2.copy(data=jnp.sqrt(abs2)).rename("G2_abs"),
+        "G2_angle": re2.copy(
+            data=jnp.arctan2(im2.data, re2.data) / 2.0).rename("G2_angle"),
         "G3": grad3.rename("G3"),
-        "c": grad2.copy(data=c_data).rename("c"),
+        "c": re2.copy(data=c_data).rename("c"),
     })
+    if _device_supports_complex():
+        g2 = jnp.sqrt(lax.complex(re2.data, im2.data))
+        out["G2"] = re2.copy(data=g2).rename("G2")
+    return out
 
 
 # ------------------------------------------------- windowed histogram kernel
 
 @jax.jit
-def _histogram_windows(g2_win, c_win, angles_bins):
+def _histogram_windows(abs_win, ang_win, c_win, angles_bins):
     """Direction histograms for a batch of windows.
 
-    g2_win: (nwin, wpix) complex; c_win: (nwin, wpix) real;
-    angles_bins: (n_angles,) bin centers. Returns (hist (nwin, n_angles),
-    used_ratio (nwin,)). Faithful to gradient_histogram
-    (gradients.py:828-879): weights ``r*c`` with r = |g2|/(|g2|+median|g2|)
-    over the window's valid pixels; bin k = round((angle-start)/step).
+    abs_win/ang_win: (nwin, wpix) modulus and angle of the complex local
+    gradient (real pairs — TPUs have no native complex); c_win:
+    (nwin, wpix) real; angles_bins: (n_angles,) bin centers. Returns
+    (hist (nwin, n_angles), used_ratio (nwin,)). Faithful to
+    gradient_histogram (gradients.py:828-879): weights ``r*c`` with
+    r = |g2|/(|g2|+median|g2|) over the window's valid pixels;
+    bin k = round((angle-start)/step).
     """
     n_angles = angles_bins.shape[0]
-    nwin, wpix = g2_win.shape
+    nwin, wpix = abs_win.shape
 
-    abs_g2 = jnp.abs(g2_win)
+    abs_g2 = abs_win
     mask1 = (~jnp.isnan(abs_g2)) & (abs_g2 > 0)
 
     # masked median of |g2| per window
@@ -155,7 +194,7 @@ def _histogram_windows(g2_win, c_win, angles_bins):
     hi = jnp.take_along_axis(svals, jnp.clip(n // 2, 0)[:, None], axis=1)[:, 0]
     med = jnp.where(n > 0, (lo + hi) / 2.0, jnp.nan)
 
-    angle = jnp.angle(g2_win)
+    angle = ang_win
     step = angles_bins[1] - angles_bins[0]
     start = angles_bins[0]
     k = jnp.round((angle - start) / step)
@@ -266,7 +305,7 @@ class Gradients2D:
         including the extra-bin suppression and window-pixel normalization.
         """
         lg = self.local_gradients
-        g2, c = lg["G2"], lg["c"]
+        g2, g2_ang, c = lg["G2_abs"], lg["G2_angle"], lg["c"]
 
         # window size in lg pixels (gradients.py:151-158)
         win = int(np.mean([
@@ -285,11 +324,12 @@ class Gradients2D:
         angles_bins = np.linspace(-np.pi / 2, np.pi / 2, self.n_angles + 1)
         angles_bins = (angles_bins[1:] + angles_bins[:-1]) / 2  # bin centers
 
-        g2_w = _extract_windows(jnp.asarray(g2.data), jnp.asarray(cl), jnp.asarray(cs),
-                                win, win)
-        c_w = _extract_windows(jnp.asarray(c.data), jnp.asarray(cl), jnp.asarray(cs),
-                               win, win)
-        hist, ratio = _histogram_windows(g2_w, c_w, jnp.asarray(angles_bins))
+        cl = jnp.asarray(cl.astype(np.int32))
+        cs = jnp.asarray(cs.astype(np.int32))
+        abs_w = _extract_windows(jnp.asarray(g2.data), cl, cs, win, win)
+        ang_w = _extract_windows(jnp.asarray(g2_ang.data), cl, cs, win, win)
+        c_w = _extract_windows(jnp.asarray(c.data), cl, cs, win, win)
+        hist, ratio = _histogram_windows(abs_w, ang_w, c_w, jnp.asarray(angles_bins))
 
         nl, ns = len(cl), len(cs)
         coords = {"line": np.asarray(at["line"]), "sample": np.asarray(at["sample"]),

@@ -39,24 +39,30 @@ class Cmod7Model(LutModel):
         if not os.path.isdir(self.path):
             raise FileNotFoundError(self.path)
         table_path = os.path.join(self.path, "gmf_cmod7_vv.dat_little_endian")
-        raw = np.fromfile(table_path, dtype="<f4")
 
         m, n, p = 250, 73, 51  # wspd, phi, incidence
-        raw = raw[1:-1]  # strip Fortran record head/tail
-        sigma0 = raw.reshape((m, n, p), order="F")
+        try:
+            # native codec: fused strip + F->C permutation, single pass
+            from xsarsea_tpu import _lutio
+
+            sigma0 = _lutio.decode_cmod7(table_path)  # (incidence, wspd, phi)
+        except ImportError:
+            raw = np.fromfile(table_path, dtype="<f4")
+            raw = raw[1:-1]  # strip Fortran record head/tail
+            sigma0 = np.ascontiguousarray(
+                raw.reshape((m, n, p), order="F").transpose(2, 0, 1))
 
         wspd = np.arange(0.2, 50.0 + 0.2, 0.2)
         phi = np.arange(0.0, 180.0 + 2.5, 2.5)
         inc = np.arange(16.0, 66.0 + 1.0, 1.0)
 
-        lut = DimArray(
+        return DimArray(
             sigma0,
-            dims=("wspd", "phi", "incidence"),
+            dims=("incidence", "wspd", "phi"),
             coords={"wspd": wspd, "phi": phi, "incidence": inc},
             attrs={"units": "linear", "model": self.name, "resolution": "low"},
             name="sigma0_gmf",
         )
-        return lut.transpose("incidence", "wspd", "phi")
 
 
 def register_cmod7(topdir):

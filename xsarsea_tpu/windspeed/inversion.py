@@ -585,12 +585,15 @@ def _get_invert_fn(tables, chunk_size, mode="exact", dsig_co=0.1):
 
 
 def invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
-                  ancillary_wind, dsig_co=0.1, chunk_size=256, mode="auto"):
+                  ancillary_wind, dsig_co=0.1, chunk_size=256, mode="auto",
+                  device_output=False):
     """Invert flat pixel arrays against prepared tables.
 
     All inputs are 1-D arrays of the same length (sigma0 already in dB);
     ``ancillary_wind`` is complex (antenna convention). Returns
-    (wind_co, wind_dual) complex arrays.
+    (wind_co, wind_dual) complex arrays — numpy by default, or
+    device-resident jax arrays with ``device_output=True`` (skips the
+    device->host copy for pipelines that keep working on device).
 
     mode: 'exact' (portable full-grid argmin), 'pallas' (fused TPU
     kernels: coarse expanded-form pass + direct-form slab refine),
@@ -608,15 +611,23 @@ def invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
     dtype = tables.dtype
     anc = np.asarray(ancillary_wind)
     fn = _get_invert_fn(tables, chunk_size, mode=mode, dsig_co=dsig_co)
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+
+    def put(a):
+        # cast host-side (numpy SIMD) before the transfer: ~3x faster than
+        # jnp.asarray(a, dtype=...) and transfers half the bytes for f64 in
+        a = np.asarray(a)
+        if a.dtype != np_dtype:
+            a = a.astype(np_dtype)
+        return jnp.asarray(a)
+
     co_re, co_im, du_re, du_im = fn(
-        jnp.asarray(inc, dtype=dtype),
-        jnp.asarray(s0_co_db, dtype=dtype),
-        jnp.asarray(s0_cr_db, dtype=dtype),
-        jnp.asarray(dsig_cr, dtype=dtype),
-        jnp.asarray(anc.real, dtype=dtype),
-        jnp.asarray(anc.imag, dtype=dtype),
+        put(inc), put(s0_co_db), put(s0_cr_db), put(dsig_cr),
+        put(anc.real), put(anc.imag),
         jnp.asarray(dsig_co, dtype=dtype),
     )
+    if device_output:
+        return lax.complex(co_re, co_im), lax.complex(du_re, du_im)
     ctype = np.complex128 if dtype == jnp.float64 else np.complex64
     wind_co = np.asarray(co_re, dtype=np.float64) + 1j * np.asarray(co_im, dtype=np.float64)
     wind_dual = np.asarray(du_re, dtype=np.float64) + 1j * np.asarray(du_im, dtype=np.float64)
