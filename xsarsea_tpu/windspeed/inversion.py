@@ -88,63 +88,88 @@ class InversionTables:
         for f, c in zip(fields, children):
             setattr(obj, f, c)
         obj._coarse = None
+        obj._device_full = None
         return obj
 
     def __init__(self, lut_co_db=None, lut_cr_db=None, dtype=jnp.float32):
         self.dtype = dtype
         self.has_co = lut_co_db is not None
         self.has_cr = lut_cr_db is not None
+        # fields stay HOST-side (numpy): large LUTs pinned in device
+        # memory degrade host->device bandwidth on constrained plugins.
+        # Device residency is explicit: to_device() for the exact path,
+        # a slim subset for the pallas path (which has its own packed
+        # operands), and sharded device_put in the parallel path.
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
 
         if self.has_co:
             # lut dims (incidence, wspd, phi)
-            self.co_lut = jnp.asarray(lut_co_db.data, dtype=dtype)
-            self.co_inc = jnp.asarray(lut_co_db.coords["incidence"], dtype=dtype)
+            self.co_lut = np.ascontiguousarray(lut_co_db.data, dtype=np_dtype)
+            self.co_inc = np.asarray(
+                lut_co_db.coords["incidence"], dtype=np_dtype)
             wspd = np.asarray(lut_co_db.coords["wspd"], dtype=np.float64)
             phi = np.asarray(lut_co_db.coords["phi"], dtype=np.float64)
-            self.co_wspd = jnp.asarray(wspd, dtype=dtype)
-            self.co_phi = jnp.asarray(phi, dtype=dtype)
+            self.co_wspd = wspd.astype(np_dtype)
+            self.co_phi = phi.astype(np_dtype)
             # symmetric LUT detection (windspeed.py:152-156)
             self.phi_180 = bool((180.0 - (phi[-1] - phi[0])) < 2.0)
             phir = np.deg2rad(phi)
-            self.co_u = jnp.asarray(wspd[:, None] * np.cos(phir)[None, :], dtype=dtype)
-            self.co_v = jnp.asarray(wspd[:, None] * np.sin(phir)[None, :], dtype=dtype)
-            self.co_phir = jnp.asarray(phir, dtype=dtype)
+            self.co_u = (wspd[:, None] * np.cos(phir)[None, :]).astype(np_dtype)
+            self.co_v = (wspd[:, None] * np.sin(phir)[None, :]).astype(np_dtype)
+            self.co_phir = phir.astype(np_dtype)
 
         if self.has_cr:
-            self.cr_lut = jnp.asarray(lut_cr_db.data, dtype=dtype)
-            self.cr_inc = jnp.asarray(lut_cr_db.coords["incidence"], dtype=dtype)
-            self.cr_wspd = jnp.asarray(lut_cr_db.coords["wspd"], dtype=dtype)
+            self.cr_lut = np.ascontiguousarray(lut_cr_db.data, dtype=np_dtype)
+            self.cr_inc = np.asarray(lut_cr_db.coords["incidence"], dtype=np_dtype)
+            self.cr_wspd = np.asarray(lut_cr_db.coords["wspd"], dtype=np_dtype)
 
         self._coarse = None
+        self._device_full = None
 
-    def coarse(self, stride_w=6, stride_p=4, top_m=4):
-        """Coarse-grid machinery for the fast (coarse-to-fine) solver.
+    def _copy_with(self, **overrides):
+        obj = object.__new__(InversionTables)
+        obj.__dict__.update(self.__dict__)
+        obj.__dict__.update(overrides)
+        obj._coarse = None
+        obj._device_full = None
+        return obj
 
-        The fine (wspd, phi) grid is subsampled by (stride_w, stride_p)
-        (always keeping the last node); the fast solver takes the top-M
-        coarse minima and refines each in an exact window of the fine grid
-        spanning ±stride around the candidate.
+    def to_device(self):
+        """All-fields device copy (cached) for the exact jit path."""
+        if self._device_full is None:
+            fields = (self._CO_FIELDS if self.has_co else ()) + (
+                self._CR_FIELDS if self.has_cr else ())
+            self._device_full = self._copy_with(
+                **{f: jnp.asarray(getattr(self, f)) for f in fields})
+        return self._device_full
+
+    def to_device_slim(self):
+        """Device copy with the big copol grids replaced by placeholders.
+
+        The pallas path reads only the small decode fields (co_wspd,
+        co_phir, co_inc bounds, crosspol tables) — its own packed
+        operands (g4, lut_pad) carry the LUT data — so pinning the
+        ~180 MB co_lut on device would be pure waste.
         """
-        key = (stride_w, stride_p, top_m)
-        if self._coarse is not None and self._coarse["key"] == key:
-            return self._coarse
-        W = self.co_lut.shape[1]
-        P = self.co_lut.shape[2]
-        iw = np.unique(np.r_[np.arange(0, W, stride_w), W - 1])
-        ip = np.unique(np.r_[np.arange(0, P, stride_p), P - 1])
-        self._coarse = dict(
-            key=key,
-            top_m=top_m,
-            iw=jnp.asarray(iw, dtype=jnp.int32),
-            ip=jnp.asarray(ip, dtype=jnp.int32),
-            n_ip=len(ip),
-            lut=jnp.asarray(self.co_lut[:, iw][:, :, ip]),
-            u=jnp.asarray(self.co_u[iw][:, ip]),
-            v=jnp.asarray(self.co_v[iw][:, ip]),
-            win_w=2 * stride_w + 1,
-            win_p=2 * stride_p + 1,
-        )
-        return self._coarse
+        overrides = {}
+        if self.has_co:
+            ph = jnp.zeros((1, 1), dtype=jnp.dtype(self.dtype))
+            overrides.update(
+                co_lut=jnp.zeros((1, 1, 1), dtype=jnp.dtype(self.dtype)),
+                co_u=ph, co_v=ph,
+                co_inc=jnp.asarray(self.co_inc),
+                co_wspd=jnp.asarray(self.co_wspd),
+                co_phi=jnp.asarray(self.co_phi),
+                co_phir=jnp.asarray(self.co_phir),
+            )
+        if self.has_cr:
+            overrides.update(
+                cr_lut=jnp.asarray(self.cr_lut),
+                cr_inc=jnp.asarray(self.cr_inc),
+                cr_wspd=jnp.asarray(self.cr_wspd),
+            )
+        return self._copy_with(**overrides)
+
 
 
 @lru_cache(maxsize=32)
@@ -299,15 +324,9 @@ def _make_invert_fn(tables: InversionTables, chunk_size=256):
     jitted = jax.jit(invert_flat)
 
     def run(*args):
-        return jitted(tables, *args)
+        return jitted(tables.to_device(), *args)
 
     return run
-
-
-# exact-refinement half-window around the kernel's argmin (wspd cells); the
-# phi dimension is re-searched in full — the stripe is contiguous in memory
-# (fast gathers) and removes any phi-drift window risk
-_REFINE_W = 8
 
 
 def _build_g4_device(tables: InversionTables, dsig_co, tile,
@@ -321,11 +340,15 @@ def _build_g4_device(tables: InversionTables, dsig_co, tile,
     With strides > 1 the (wspd, phi) grid is subsampled (always keeping the
     last node) for the coarse first pass of the fast mode; the returned
     ``iw_map`` maps coarse wspd indices back to fine rows.
+
+    Built host-side in numpy and shipped with ONE device_put — the
+    operand is used for many calls and building it on device would churn
+    ~0.5 GB of intermediate buffers.
     Returns (g4, lut_shift, iw_map, n_p_eff).
     """
-    lut = jnp.asarray(tables.co_lut, dtype=jnp.float32)
-    u_full = jnp.asarray(tables.co_u, jnp.float32)
-    v_full = jnp.asarray(tables.co_v, jnp.float32)
+    lut = np.asarray(tables.co_lut, dtype=np.float32)
+    u_full = np.asarray(tables.co_u, np.float32)
+    v_full = np.asarray(tables.co_v, np.float32)
     I, W, P = lut.shape
     iw_map = None
     if stride_w != 1 or stride_p != 1:
@@ -334,7 +357,7 @@ def _build_g4_device(tables: InversionTables, dsig_co, tile,
         lut = lut[:, iw][:, :, ip]
         u_full = u_full[iw][:, ip]
         v_full = v_full[iw][:, ip]
-        iw_map = jnp.asarray(iw, dtype=jnp.int32)
+        iw_map = jnp.asarray(iw.astype(np.int32))
         W, P = len(iw), len(ip)
     wp = W * P
     wp_pad = ((wp + tile - 1) // tile) * tile
@@ -342,57 +365,25 @@ def _build_g4_device(tables: InversionTables, dsig_co, tile,
 
     def flat_pad(a, n_lead):
         a = a.reshape(n_lead, wp)
-        return jnp.pad(a, ((0, 0), (0, wp_pad - wp)))
+        return np.pad(a, ((0, 0), (0, wp_pad - wp)))
 
-    scaled = lut / jnp.float32(dsig_co)
-    finite = jnp.isfinite(scaled)
-    shift = (jnp.max(jnp.where(finite, scaled, -jnp.inf))
-             + jnp.min(jnp.where(finite, scaled, jnp.inf))) / 2.0
+    scaled = lut / np.float32(dsig_co)
+    finite = np.isfinite(scaled)
+    shift = np.float32(
+        (scaled[finite].max() + scaled[finite].min()) / 2.0)
     ls = flat_pad(scaled - shift, I)
     us = flat_pad(u_full[None] / 2.0, 1)
     vs = flat_pad(v_full[None] / 2.0, 1)
     q = ls * ls + us * us + vs * vs
     # padded entries: huge q so their cost can never win
-    pad_mask = jnp.arange(wp_pad) >= wp
-    q = jnp.where(pad_mask[None, :], 1e19, q)
+    q[:, wp:] = 1e19
 
-    g4 = jnp.stack([
-        ls.reshape(I, n_tiles, tile),
-        jnp.broadcast_to(us.reshape(1, n_tiles, tile), (I, n_tiles, tile)),
-        jnp.broadcast_to(vs.reshape(1, n_tiles, tile), (I, n_tiles, tile)),
-        q.reshape(I, n_tiles, tile),
-    ], axis=2)
-    return g4, shift, iw_map, P
-
-
-def _refine_copol(tables: InversionTables, i_inc, iw0, ip0, s0_db, ma, mz_eff,
-                  dsig_co):
-    """Exact direct-form argmin on a full-phi stripe around a candidate.
-
-    Restores full f32 precision (and the np.argmin tie rule) lost to the
-    kernel's expanded-form cost. The stripe spans ±_REFINE_W wspd rows
-    (Jsig is steep in wspd, so drift there is small) and ALL phi columns
-    (contiguous rows — fast gathers — and no drift-window risk along the
-    flat phi valleys).
-    """
-    W = tables.co_wspd.shape[0]
-    P = tables.co_phir.shape[0]
-    ww = min(2 * _REFINE_W + 1, W)
-    w0 = jnp.clip(iw0 - _REFINE_W, 0, W - ww)
-
-    zero = jnp.zeros((), dtype=jnp.asarray(w0).dtype)
-    i_inc = jnp.asarray(i_inc).astype(zero.dtype)
-    lut_win = lax.dynamic_slice(tables.co_lut, (i_inc, w0, zero), (1, ww, P))[0]
-    u_win = lax.dynamic_slice(tables.co_u, (w0, zero), (ww, P))
-    v_win = lax.dynamic_slice(tables.co_v, (w0, zero), (ww, P))
-
-    j = (
-        ((lut_win - s0_db) / dsig_co) ** 2
-        + ((u_win - ma) / D_ANTENNA) ** 2
-        + ((v_win - mz_eff) / D_AZI) ** 2
-    )
-    k = jnp.argmin(j.reshape(-1))
-    return w0 + k // P, k % P
+    g4 = np.empty((I, n_tiles, 4, tile), dtype=np.float32)
+    g4[:, :, 0, :] = ls.reshape(I, n_tiles, tile)
+    g4[:, :, 1, :] = us.reshape(1, n_tiles, tile)
+    g4[:, :, 2, :] = vs.reshape(1, n_tiles, tile)
+    g4[:, :, 3, :] = q.reshape(I, n_tiles, tile)
+    return jnp.asarray(g4), shift, iw_map, P
 
 
 # coarse-grid spacing for the fast mode's first pass, in physical units:
@@ -555,9 +546,10 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         return tuple(o.reshape(-1)[:n] for o in out)
 
     jitted = jax.jit(invert_flat)
+    tables_slim = tables.to_device_slim()
 
     def run(*args):
-        return jitted(tables, g4_dev, iw_map, lut_pad, u_pad, v_pad, *args)
+        return jitted(tables_slim, g4_dev, iw_map, lut_pad, u_pad, v_pad, *args)
 
     return run
 
@@ -566,16 +558,18 @@ _invert_fn_cache = {}
 
 
 def _get_invert_fn(tables, chunk_size, mode="exact", dsig_co=0.1):
+    if mode.startswith("pallas"):
+        # the pallas postprocess only does small per-pixel gathers, so it
+        # wants much larger chunks than the exact full-grid path
+        chunk_size = max(chunk_size, 8192)
     key = (id(tables), chunk_size, mode,
            float(dsig_co) if mode.startswith("pallas") else None)
     if key not in _invert_fn_cache:
         if mode == "exact":
             _invert_fn_cache[key] = _make_invert_fn(tables, chunk_size)
         elif mode.startswith("pallas"):
-            # the pallas postprocess only does small per-pixel gathers, so it
-            # wants much larger chunks than the exact full-grid path
             _invert_fn_cache[key] = _make_pallas_invert_fn(
-                tables, dsig_co, max(chunk_size, 8192),
+                tables, dsig_co, chunk_size,
                 interpret=mode.endswith("_interpret"),
                 coarse="exact" not in mode,
             )
@@ -615,17 +609,33 @@ def invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
 
     def put(a):
         # cast host-side (numpy SIMD) before the transfer: ~3x faster than
-        # jnp.asarray(a, dtype=...) and transfers half the bytes for f64 in
-        a = np.asarray(a)
-        if a.dtype != np_dtype:
-            a = a.astype(np_dtype)
+        # jnp.asarray(a, dtype=...) and transfers half the bytes for f64 in.
+        # Contiguity matters: strided views (e.g. anc.real of a complex
+        # array) take a very slow element-wise transfer path.
+        a = np.ascontiguousarray(a, dtype=np_dtype)
         return jnp.asarray(a)
 
-    co_re, co_im, du_re, du_im = fn(
-        put(inc), put(s0_co_db), put(s0_cr_db), put(dsig_cr),
-        put(anc.real), put(anc.imag),
-        jnp.asarray(dsig_co, dtype=dtype),
-    )
+    arrs = (inc, s0_co_db, s0_cr_db, dsig_cr, anc.real, anc.imag)
+    dsig_dev = jnp.asarray(dsig_co, dtype=dtype)
+    n = np.shape(inc)[0]
+
+    # Large inputs stream in fixed-size pieces: each piece's host->device
+    # transfer overlaps the previous piece's (async-dispatched) kernels.
+    _PIECE = 1 << 21
+    if n > _PIECE + (_PIECE >> 1):
+        outs = []
+        for lo in range(0, n, _PIECE):
+            hi = min(lo + _PIECE, n)
+            piece = [np.ascontiguousarray(a[lo:hi], dtype=np_dtype)
+                     for a in arrs]
+            if hi - lo < _PIECE:  # pad the tail piece: one jit shape only
+                piece = [np.pad(a, (0, _PIECE - (hi - lo)),
+                                constant_values=np.nan) for a in piece]
+            outs.append(fn(*(jnp.asarray(a) for a in piece), dsig_dev))
+        co_re, co_im, du_re, du_im = (
+            jnp.concatenate(parts)[:n] for parts in zip(*outs))
+    else:
+        co_re, co_im, du_re, du_im = fn(*(put(a) for a in arrs), dsig_dev)
     if device_output:
         return lax.complex(co_re, co_im), lax.complex(du_re, du_im)
     ctype = np.complex128 if dtype == jnp.float64 else np.complex64
