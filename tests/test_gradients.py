@@ -7,7 +7,7 @@ from scipy import ndimage, signal
 
 import jax.numpy as jnp
 
-from xsarsea_tpu.dimarray import DimArray
+from xsarsea_tpu.dimarray import DimArray, DimDataset
 from xsarsea_tpu.gradients import (
     Gradients,
     Gradients2D,
@@ -245,3 +245,34 @@ def test_plot_gradients():
     assert ax is not None
     ax2 = pg.histogram_plot(line=150, sample=150)
     assert ax2 is not None
+
+
+def test_plot_gradients_smoke(tmp_path):
+    """PlotGradients renders a quiver and a circular histogram (Agg)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img = streak_image(256, 256, angle_deg=25.0)
+    da = DimArray(img[None], dims=("pol", "line", "sample"),
+                  coords={"pol": np.array(["VV"]), "line": np.arange(256),
+                          "sample": np.arange(256)})
+    g = Gradients(da, windows_sizes=[80], downscales_factors=[1])
+    hist = g.histogram
+    w = hist["weight"].mean(dim=["pol", "downscale_factor", "window_size"])
+    pg = PlotGradients(DimDataset({
+        "weight": w,
+        "used_ratio": hist["used_ratio"].mean(
+            dim=[d for d in hist["used_ratio"].dims
+                 if d not in ("line", "sample")]),
+    }))
+    ax = pg.vectorfield()
+    assert len(ax.collections) >= 1
+    fig = ax.figure
+    fig.savefig(tmp_path / "quiver.png")
+    plt.close(fig)
+
+    ax2 = pg.histogram_plot(line=0, sample=0)
+    ax2.figure.savefig(tmp_path / "hist.png")
+    plt.close(ax2.figure)
