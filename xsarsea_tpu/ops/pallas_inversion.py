@@ -261,7 +261,9 @@ def build_direct_arrays(lut_db, u, v):
     lut_db: (I, W, P); u, v: (W, P). Returns (lut_pad, u_pad, v_pad) with
     W padded up to a multiple of 8 plus slab slack and P padded to a
     multiple of 128. Padded LUT entries get a huge value so their cost
-    overflows to +inf and can never win the argmin.
+    overflows to +inf and can never win the argmin. u/v are stored
+    pre-halved (the kernel's feats carry ma/2, mz/2): x/2 is an exact fp
+    operation, so (u/2 - ma/2) rounds identically to (u - ma)/2.
     """
     lut_db = np.asarray(lut_db, dtype=np.float32)
     I, W, P = lut_db.shape
@@ -270,9 +272,9 @@ def build_direct_arrays(lut_db, u, v):
     lut_pad = np.full((I, Wp, Pp), _PAD_LUT, dtype=np.float32)
     lut_pad[:, :W, :P] = lut_db
     u_pad = np.zeros((Wp, Pp), dtype=np.float32)
-    u_pad[:W, :P] = np.asarray(u, dtype=np.float32)
+    u_pad[:W, :P] = np.asarray(u, dtype=np.float32) * 0.5
     v_pad = np.zeros((Wp, Pp), dtype=np.float32)
-    v_pad[:W, :P] = np.asarray(v, dtype=np.float32)
+    v_pad[:W, :P] = np.asarray(v, dtype=np.float32) * 0.5
     return lut_pad, u_pad, v_pad
 
 
@@ -289,37 +291,35 @@ def _slab_kernel(sband_ref, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
     b = pl.program_id(0)
     r0 = srow0_ref[b]
 
-    # pixel features, lane vectors -> columns broadcast over phi lanes
+    # pixel features, lane vectors -> columns broadcast over phi lanes.
+    # feats rows: (s0, ma/2, mz/2, 1/dsig) — u/v operands are pre-halved
+    # and the division is a reciprocal multiply (both exact-equivalent or
+    # within one ulp; only exact cost ties can flip).
     def col(i):
         return jnp.broadcast_to(feats_ref[0, i, :].reshape(block, 1), (block, pp))
 
     s0 = col(0)
-    ma = col(1)
-    mz = col(2)
-    dsig = col(3)
-
-    lane = lax.broadcasted_iota(jnp.int32, (block, pp), 1)
+    ma2 = col(1)
+    mz2 = col(2)
+    inv_dsig = col(3)
 
     def body(r, carry):
         m, a = carry
         lr = lut_ref[0, pl.ds(r0 + r, 1), :]  # (1, pp)
         ur = u_ref[pl.ds(r0 + r, 1), :]
         vr = v_ref[pl.ds(r0 + r, 1), :]
-        j = (
-            ((lr - s0) / dsig) ** 2
-            + ((ur - ma) * 0.5) ** 2
-            + ((vr - mz) * 0.5) ** 2
-        )
+        j = ((lr - s0) * inv_dsig) ** 2 + (ur - ma2) ** 2 + (vr - mz2) ** 2
         better = j < m  # strict: keeps the first (lowest-row) min per lane
-        flat = (r0 + r) * n_phi_true + lane
-        return jnp.minimum(m, j), jnp.where(better, flat, a)
+        return jnp.minimum(m, j), jnp.where(better, r0 + r, a)
 
     m, a = lax.fori_loop(0, n_rows, body, (
         jnp.full((block, pp), jnp.inf, dtype=jnp.float32),
-        jnp.full((block, pp), _BIG_IDX, dtype=jnp.int32),
+        jnp.full((block, pp), _BIG_IDX // n_phi_true, dtype=jnp.int32),
     ))
+    lane = lax.broadcasted_iota(jnp.int32, (block, pp), 1)
+    flat = a * n_phi_true + lane  # row-major flat index, BIG for no-hit
     gmin = jnp.min(m, axis=1, keepdims=True)  # (block, 1)
-    best = jnp.min(jnp.where(m == gmin, a, _BIG_IDX), axis=1)
+    best = jnp.min(jnp.where(m == gmin, flat, _BIG_IDX), axis=1)
     out_ref[...] = best.reshape(1, 1, block)
 
 

@@ -476,16 +476,18 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         pidx = jnp.clip(perm, 0)
 
         mz = jnp.abs(anc_im) if tables.phi_180 else anc_im
-        feats = jnp.stack(
+        # transform once in pixel order, then ONE row gather per stage
+        # (4 separate gathers over the padded index space cost ~2x more)
+        pix1 = jnp.stack(
             [
-                (s0_co_db[pidx].astype(f32) * inv_dsig - lut_shift) * (-2.0),
-                anc_re[pidx].astype(f32) * (-1.0),
-                mz[pidx].astype(f32) * (-1.0),
-                jnp.ones_like(pidx, dtype=f32),
+                (s0_co_db.astype(f32) * inv_dsig - lut_shift) * (-2.0),
+                anc_re.astype(f32) * (-1.0),
+                mz.astype(f32) * (-1.0),
+                jnp.ones_like(s0_co_db, dtype=f32),
             ],
             axis=1,
         )
-        feats = jnp.where(valid[:, None], feats, jnp.nan)
+        feats = jnp.where(valid[:, None], pix1[pidx], jnp.nan)
 
         args = copol_argmin_pallas(
             g4, feats, band_of_block, block=block, interpret=interpret,
@@ -504,16 +506,18 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
             key, n_bands=n_inc * n_wgroups, block=SLAB_BLOCK)
         valid2 = perm2 >= 0
         pidx2 = jnp.clip(perm2, 0)
-        feats2 = jnp.stack(
+        # slab-kernel features: (s0, ma/2, mz/2, 1/dsig) — see
+        # build_direct_arrays for the exact-rounding argument
+        pix2 = jnp.stack(
             [
-                s0_co_db[pidx2].astype(f32),
-                anc_re[pidx2].astype(f32),
-                mz[pidx2].astype(f32),
-                jnp.full_like(pidx2, 1.0, dtype=f32) * dsig_co.astype(f32),
+                s0_co_db.astype(f32),
+                anc_re.astype(f32) * 0.5,
+                mz.astype(f32) * 0.5,
+                jnp.broadcast_to((1.0 / dsig_co).astype(f32), s0_co_db.shape),
             ],
             axis=1,
         )
-        feats2 = jnp.where(valid2[:, None], feats2, jnp.nan)
+        feats2 = jnp.where(valid2[:, None], pix2[pidx2], jnp.nan)
         sband = key_of_block // n_wgroups
         srow0 = jnp.clip((key_of_block % n_wgroups) * WGROUP - margin,
                          0, wp_rows - slab_rows)
@@ -621,7 +625,7 @@ def invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
 
     # Large inputs stream in fixed-size pieces: each piece's host->device
     # transfer overlaps the previous piece's (async-dispatched) kernels.
-    _PIECE = 1 << 21
+    _PIECE = 1 << 22
     if n > _PIECE + (_PIECE >> 1):
         outs = []
         for lo in range(0, n, _PIECE):
