@@ -74,3 +74,30 @@ def test_sharded_conv_halo_exchange():
     img_sh = jax.device_put(jnp.asarray(img), sharding)
     out = jax.jit(r2_reduce)(img_sh)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-12, atol=1e-13)
+
+
+def test_invert_scenes_batch(tables):
+    """Multi-scene batch: matches per-scene single-device inversion."""
+    from xsarsea_tpu.parallel import invert_scenes
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    scenes = []
+    for seed, (h, w) in enumerate([(20, 30), (16, 25)]):
+        inc, s0_co, s0_cr, dsig_cr, anc = make_pixels(h * w, seed=seed)
+        scenes.append(dict(
+            inc=inc.reshape(h, w), sigma0_co_db=s0_co.reshape(h, w),
+            sigma0_cr_db=s0_cr.reshape(h, w), dsig_cr=dsig_cr.reshape(h, w),
+            ancillary_wind=anc.reshape(h, w)))
+
+    outs = invert_scenes(tables, scenes, mesh, chunk_size=64)
+    assert len(outs) == 2
+    for scene, (co, dual) in zip(scenes, outs):
+        n = scene["inc"].size
+        co_ref, dual_ref = invert_pixels(
+            tables, scene["inc"].reshape(-1), scene["sigma0_co_db"].reshape(-1),
+            scene["sigma0_cr_db"].reshape(-1), scene["dsig_cr"].reshape(-1),
+            scene["ancillary_wind"].reshape(-1), mode="exact")
+        assert co.shape == scene["inc"].shape
+        m = ~np.isnan(np.abs(co_ref))
+        np.testing.assert_allclose(co.reshape(-1)[m], co_ref[m], atol=1e-9)
+        np.testing.assert_allclose(dual.reshape(-1)[m], dual_ref[m], atol=1e-9)
