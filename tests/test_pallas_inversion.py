@@ -49,10 +49,14 @@ def test_bucket_by_band_structure():
             assert band_np[p] == bob[b]
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_pallas_matches_exact_mode(seed):
+@pytest.mark.parametrize("seed,kwargs", [
+    # two LUT resolutions -> different coarse strides and slab clipping
+    (0, dict(inc_step=0.5, wspd_step=0.5, phi_step=5.0)),
+    (1, dict(inc_step=0.5, wspd_step=0.5, phi_step=5.0)),
+    (0, dict(inc_step=1.0, wspd_step=0.2, phi_step=2.5)),
+])
+def test_pallas_matches_exact_mode(seed, kwargs):
     """Interpreter-mode kernel result == exact XLA path (same f32 tables)."""
-    kwargs = dict(inc_step=0.5, wspd_step=0.5, phi_step=5.0)
     lut_co = get_model("gmf_cmod5n").to_lut(units="dB", **kwargs)
     lut_cr = get_model("gmf_s1_v2").to_lut(units="dB", **kwargs)
     tables = InversionTables(lut_co, lut_cr, dtype=jnp.float32)
