@@ -111,28 +111,50 @@ def bucket_by_band(band, n_bands, block=DEFAULT_BLOCK):
     ``N + n_bands*block`` (-1 marks padding slots) and lists pixel indices
     ordered band-by-band, each band padded to a multiple of ``block``;
     ``band_of_block[b]`` is the (single) band of block ``b``.
+
+    TPU cost note: everything per-pixel here is a sort, a cumsum, or one
+    scatter. Per-band quantities (segment starts, padded offsets) come
+    from a 1-D ``searchsorted`` over the *sorted* keys and are spread
+    back to pixel resolution by telescoped sparse-add + cumsum — the
+    naive formulation's ``bincount`` and per-pixel gathers from the
+    per-band tables each cost ~80 ms at 8M pixels (gather/scatter-add
+    run near 10 ns/element on TPU; vector ops are ~100x cheaper).
     """
     n = band.shape[0]
-    order = jnp.argsort(band, stable=True)
-    counts = jnp.bincount(band, length=n_bands)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    ks, order = lax.sort((band.astype(jnp.int32), iota),
+                         is_stable=True, num_keys=1)
+    # lb[b] = first slot of band b in the sorted keys; counts via diff
+    lb = jnp.searchsorted(ks, jnp.arange(n_bands, dtype=jnp.int32)).astype(
+        jnp.int32)
+    counts = jnp.diff(lb, append=jnp.int32(n))
     pad_counts = ((counts + block - 1) // block) * block
-    pad_offsets = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(pad_counts)[:-1].astype(jnp.int32)]
-    )
-    cum_counts = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
-    )
-    band_sorted = band[order]
-    rank = jnp.arange(n, dtype=jnp.int32) - cum_counts[band_sorted]
-    dest = pad_offsets[band_sorted] + rank
+    pad_offsets = (jnp.cumsum(pad_counts) - pad_counts).astype(jnp.int32)
+
+    # dest[i] = pad_offsets[b_i] + (i - lb[b_i]) for the i-th sorted pixel.
+    # delta = pad_offsets - lb is constant within a band; spread it to
+    # pixel slots by adding its per-band increment at each segment start
+    # and prefix-summing (duplicate starts from empty bands telescope).
+    delta = pad_offsets - lb
+    ddelta = jnp.diff(delta, prepend=jnp.int32(0))
+    sparse = jnp.zeros((n,), jnp.int32).at[lb].add(ddelta, mode="drop")
+    dest = iota + jnp.cumsum(sparse)
 
     # static upper bound on packed size, rounded to whole blocks
     n_padded = ((n + block - 1) // block + n_bands) * block
     perm = jnp.full((n_padded,), -1, dtype=jnp.int32).at[dest].set(
-        order.astype(jnp.int32)
+        order, mode="drop", unique_indices=True
     )
-    first = perm[:: block]
-    band_of_block = jnp.where(first >= 0, band[jnp.clip(first, 0)], 0).astype(jnp.int32)
+
+    # band_of_block by the same telescoping over block starts: band b
+    # occupies blocks [pad_offsets[b]/block, ...); empty bands add twice
+    # at the same start and are skipped.
+    n_blocks = n_padded // block
+    starts = pad_offsets // block
+    inc = jnp.ones((n_bands,), jnp.int32).at[0].set(0)
+    band_of_block = jnp.cumsum(
+        jnp.zeros((n_blocks,), jnp.int32).at[starts].add(inc, mode="drop")
+    )
     return perm, band_of_block
 
 
