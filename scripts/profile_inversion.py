@@ -21,8 +21,8 @@ from xsarsea_tpu.models import get_model
 from xsarsea_tpu.windspeed import prepare_tables
 from xsarsea_tpu.windspeed import inversion as inv
 from xsarsea_tpu.ops.pallas_inversion import (
-    DEFAULT_BLOCK, DEFAULT_TILE, SLAB_BLOCK, WGROUP,
-    bucket_by_band, build_direct_arrays, copol_argmin_pallas,
+    DEFAULT_BLOCK, SLAB_BLOCK, WGROUP,
+    bucket_by_band, build_direct_arrays, copol_group_argmin_pallas,
     nearest_index_uniform, slab_refine_pallas,
 )
 
@@ -48,8 +48,8 @@ dsig_co_val = 0.1
 block = DEFAULT_BLOCK
 step_w = float(np.median(np.diff(np.asarray(tables.co_wspd, np.float64))))
 step_p = float(np.median(np.diff(np.asarray(tables.co_phi, np.float64))))
-g4_dev, lut_shift, iw_map, n_p_eff = inv._build_g4_device(
-    tables, dsig_co_val, DEFAULT_TILE,
+g4_dev, lut_shift, n_groups_g4, gsize = inv._build_g4_grouped(
+    tables, dsig_co_val,
     stride_w=max(1, round(inv._COARSE_DW / step_w)),
     stride_p=max(1, round(inv._COARSE_DPHI / step_p)))
 margin = inv._FAST_MARGIN
@@ -92,7 +92,8 @@ def stageB(perm, band_of_block, s0_co_db, anc_re, mz):
         jnp.ones_like(s0_co_db, dtype=f32),
     ], axis=1)
     feats = jnp.where(valid[:, None], pix1[pidx], jnp.nan)
-    args = copol_argmin_pallas(g4_dev, feats, band_of_block, block=block)
+    args = copol_group_argmin_pallas(g4_dev, feats, band_of_block,
+                                     n_groups=n_wgroups, gsize=gsize, block=block)
     return args.reshape(-1)
 
 
@@ -100,12 +101,9 @@ def stageB(perm, band_of_block, s0_co_db, anc_re, mz):
 def stageB2(perm, args, i_inc):
     nloc = i_inc.shape[0]
     valid = perm >= 0
-    flat0 = jnp.zeros((nloc,), jnp.int32).at[
+    g0 = jnp.zeros((nloc,), jnp.int32).at[
         jnp.where(valid, perm, nloc)].set(args, mode="drop")
-    iw0 = flat0 // n_p_eff
-    if iw_map is not None:
-        iw0 = iw_map[iw0]
-    key = i_inc * n_wgroups + iw0 // WGROUP
+    key = i_inc * n_wgroups + g0
     return key
 
 

@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
-    "copol_argmin_pallas",
+    "copol_group_argmin_pallas",
     "slab_refine_pallas",
     "bucket_by_band",
     "nearest_index_sorted",
@@ -161,8 +161,23 @@ def bucket_by_band(band, n_bands, block=DEFAULT_BLOCK):
 _BIG_IDX = np.int32(2 ** 30)
 
 
-def _argmin_kernel(feats_ref, g4_ref, out_ref, minscr, argscr, *, tile, block):
-    """One (pixel-block, grid-tile) step: cost matmul + running argmin.
+def _split3_bf16(a):
+    """Exact 3-term bf16 decomposition of f32: a == a0 + a1 + a2.
+
+    bf16 carries 8 mantissa bits and the full f32 exponent range, so three
+    rounds of round-and-subtract capture all 24 f32 mantissa bits exactly
+    (each residual is exact by Sterbenz cancellation).
+    """
+    a0 = a.astype(jnp.bfloat16)
+    r1 = a - a0.astype(jnp.float32)
+    a1 = r1.astype(jnp.bfloat16)
+    a2 = (r1 - a1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return a0, a1, a2
+
+
+def _group_argmin_kernel(feats_ref, g4_ref, out_ref, gmin_scr, *,
+                         tile, block, gpt, n_groups):
+    """One (pixel-block, grid-tile) step: cost matmul + per-wgroup mins.
 
     The Bayesian cost expands as
 
@@ -170,63 +185,82 @@ def _argmin_kernel(feats_ref, g4_ref, out_ref, minscr, argscr, *, tile, block):
 
     with q = l'^2 + u'^2 + v'^2 precomputed per grid entry and C a per-pixel
     constant that cannot move the per-pixel argmin. So the whole cost tile
-    is ONE MXU matmul: ``J = G4^T(4, tile) @ F(4, block)`` where
-    G4 = [l', u', v', q] and F = [-2 s0', -2 ma', -2 mz', 1].
+    is ONE MXU matmul: ``J = G^T(K, tile) @ F(K, block)``.
 
-    The expanded form costs ~eps*|q| of absolute precision, which can shift
-    the argmin by a few cells along near-tie valleys — callers re-refine in
-    exact direct form around the returned index (see inversion.py).
+    The matmul runs as a *single* DEFAULT-precision bf16 MXU pass at
+    f32-dot accuracy: both operands are pre-split into exact bf16 triples
+    (see :func:`_split3_bf16`) and all 9 cross products of each logical
+    channel occupy their own K slot — K = 3 s_a x 3 s_b x 4 channels = 36
+    (padded to 48 with zero rows for bf16 sublane tiling), still one
+    systolic pass since K < 128. A f32 `Precision.HIGHEST` dot computes
+    the same sums with SIX bf16 passes — measured 4.1x slower — and
+    Mosaic does not lower `Precision.HIGH`.
 
-    feats_ref: (4, block); g4_ref: (4, tile); out_ref: (1, block);
-    scratches: (1, block).
+    Downstream only needs the winning *wspd group* (the slab refine
+    re-searches every row around it in exact direct form), so instead of
+    a full per-entry argmin — whose index bookkeeping costs ~3 VPU passes
+    over the tile — the tile is packed group-aligned (``gpt`` groups of
+    ``tile//gpt`` entries) and reduced to per-group minima in one pass.
+    The final step takes the first-minimum group, which selects the same
+    slab as the full argmin would (lowest tied group == group of the
+    lowest tied flat index, since entries are wspd-major).
+
+    feats_ref: (4, block) f32; g4_ref: (36, tile) bf16, K-ordered
+    (s_a, s_b, channel) with the a-split replicated over s_b;
+    out_ref: (1, block) i32; gmin_scr: (n_tiles*gpt, block) f32.
     """
     t = pl.program_id(1)
 
-    @pl.when(t == 0)
-    def _():
-        minscr[:] = jnp.full((1, block), jnp.inf, dtype=jnp.float32)
-        argscr[:] = jnp.zeros((1, block), dtype=jnp.int32)
+    b0, b1, b2 = _split3_bf16(feats_ref[:])        # each (4, block) bf16
+    b12 = jnp.concatenate([b0, b1, b2], axis=0)    # (12, block): (s_b, c)
+    # 4 copies: the 4th s_a block pairs with all-zero g4 rows (K padded
+    # to 48 — Mosaic requires bf16 sublane extents in multiples of 16)
+    feats_k = jnp.concatenate([b12, b12, b12, b12], axis=0)  # (48, block)
 
     j = lax.dot_general(
-        g4_ref[:], feats_ref[:],
+        g4_ref[:], feats_k,
         (((0,), (0,)), ((), ())),
-        precision=lax.Precision.HIGHEST,  # full f32 MXU passes — the
-        # default bf16 multiplies cost ~1e-3 relative = hundreds of cost
-        # units at |q|~1e5, far beyond the exact-refine window
         preferred_element_type=jnp.float32,
     )  # (tile, block)
 
-    tmin = jnp.min(j, axis=0, keepdims=True)  # (1, B)
-    # first-minimum index, matching np.argmin's tie rule
-    idx = lax.broadcasted_iota(jnp.int32, (tile, block), 0) + t * tile
-    targ = jnp.min(jnp.where(j == tmin, idx, _BIG_IDX), axis=0, keepdims=True)
-
-    better = tmin < minscr[:]  # strict: keeps the first (lowest-index) min
-    minscr[:] = jnp.where(better, tmin, minscr[:])
-    argscr[:] = jnp.where(better, targ, argscr[:])
+    gm = jnp.min(j.reshape(gpt, tile // gpt, block), axis=1)  # (gpt, block)
+    gmin_scr[pl.ds(t * gpt, gpt), :] = gm
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
-        out_ref[:] = argscr[:]
+        scr = gmin_scr[:]
+        tmin = jnp.min(scr, axis=0, keepdims=True)
+        gidx = lax.broadcasted_iota(jnp.int32, scr.shape, 0)
+        best = jnp.min(jnp.where(scr == tmin, gidx, _BIG_IDX),
+                       axis=0, keepdims=True)
+        # all-NaN pixels never match (comparisons are false): best stays
+        # _BIG_IDX; clip into range so downstream bucketing keys are valid
+        # (the result itself is discarded by the NaN guards).
+        out_ref[:] = jnp.clip(best, 0, n_groups - 1)
 
 
-def copol_argmin_pallas(g4, feats, band_of_block,
-                        block=DEFAULT_BLOCK, tile=DEFAULT_TILE, interpret=False):
-    """Blocked copol argmin (expanded-cost matmul form).
+def copol_group_argmin_pallas(g4, feats, band_of_block, n_groups, gsize,
+                              block=DEFAULT_BLOCK, interpret=False):
+    """Blocked copol wspd-group argmin (expanded-cost matmul form).
 
     Parameters
     ----------
-    g4 : (I, n_tiles, 4, tile) f32 — per incidence slice and grid tile, the
-        stacked rows [lut/dsig, u/2, v/2, q] with q the squared norm.
+    g4 : (I, n_tiles, 48, tile) bf16 — per incidence slice and grid tile,
+        the bf16-split expanded-cost rows (see ``_group_argmin_kernel``),
+        packed so each aligned ``gsize`` chunk holds one wspd group's
+        (sub-sampled) grid entries, padded with q=1e19.
     feats : (n_blocks*block, 4) f32 — per-pixel (-2*s0', -2*ma', -2*mz', 1).
     band_of_block : (n_blocks,) i32 — incidence slice per block.
+    n_groups : true number of wspd groups (ceil(W / WGROUP)).
+    gsize : entries per group chunk (tile % gsize == 0).
 
-    Returns (n_blocks, block) i32 flat argmin indices into the (W, P) grid
-    (up to a few cells of expanded-form f32 jitter along cost valleys —
-    refine in direct form afterwards).
+    Returns (n_blocks, block) i32 winning wspd-group per pixel.
     """
     n_blocks = band_of_block.shape[0]
-    n_tiles = g4.shape[1]
+    n_tiles, tile = g4.shape[1], g4.shape[3]
+    assert tile % gsize == 0
+    assert g4.dtype == jnp.bfloat16 and g4.shape[2] == 48
+    gpt = tile // gsize
     # pixels on lanes: feats (n_blocks, 4, block)
     feats = feats.reshape(n_blocks, block, 4).transpose(0, 2, 1)
 
@@ -236,20 +270,20 @@ def copol_argmin_pallas(g4, feats, band_of_block,
         in_specs=[
             pl.BlockSpec((1, 4, block), lambda b, t, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 4, tile), lambda b, t, s: (s[b], t, 0, 0),
+            pl.BlockSpec((1, 1, 48, tile), lambda b, t, s: (s[b], t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, block), lambda b, t, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((1, block), jnp.float32),
-            pltpu.VMEM((1, block), jnp.int32),
+            pltpu.VMEM((n_tiles * gpt, block), jnp.float32),
         ],
     )
 
-    def kernel(band_ref, feats_ref, g4_ref, out_ref, minscr, argscr):
-        _argmin_kernel(feats_ref[0], g4_ref.at[0, 0], out_ref.at[0],
-                       minscr, argscr, tile=tile, block=block)
+    def kernel(band_ref, feats_ref, g4_ref, out_ref, gmin_scr):
+        _group_argmin_kernel(feats_ref[0], g4_ref.at[0, 0], out_ref.at[0],
+                             gmin_scr, tile=tile, block=block, gpt=gpt,
+                             n_groups=n_groups)
 
     return pl.pallas_call(
         kernel,
@@ -393,33 +427,3 @@ def slab_refine_pallas(lut_pad, u_pad, v_pad, feats, sband, srow0,
     )(sband, srow0, feats, lut_pad, u_pad, v_pad).reshape(n_blocks, block)
 
 
-def build_copol_arrays(lut_db, u, v, dsig_co, tile=DEFAULT_TILE):
-    """Host-side preparation of the expanded-cost kernel operand.
-
-    lut_db: (I, W, P); u, v: (W, P). Returns ``g4`` with shape
-    (I, n_tiles, 4, tile): stacked rows [lut/dsig, u/2, v/2, q] per grid
-    tile, q = sum of squares. Padded entries get a huge q so their cost can
-    never win the argmin.
-    """
-    I, W, P = lut_db.shape
-    wp = W * P
-    wp_pad = ((wp + tile - 1) // tile) * tile
-    n_tiles = wp_pad // tile
-
-    def flat_pad(a, fill):
-        out = np.full((a.shape[0], wp_pad), fill, dtype=np.float32)
-        out[:, :wp] = a.reshape(a.shape[0], -1)
-        return out
-
-    ls = flat_pad(np.asarray(lut_db, dtype=np.float32) / np.float32(dsig_co), 0.0)
-    us = flat_pad(np.asarray(u, dtype=np.float32)[None] / 2.0, 0.0)
-    vs = flat_pad(np.asarray(v, dtype=np.float32)[None] / 2.0, 0.0)
-    q = ls * ls + us * us + vs * vs
-    q[:, wp:] = _PAD_LUT  # padding: cost ~1e19, never selected
-
-    g4 = np.empty((I, n_tiles, 4, tile), dtype=np.float32)
-    g4[:, :, 0, :] = ls.reshape(I, n_tiles, tile)
-    g4[:, :, 1, :] = np.broadcast_to(us.reshape(1, n_tiles, tile), (I, n_tiles, tile))
-    g4[:, :, 2, :] = np.broadcast_to(vs.reshape(1, n_tiles, tile), (I, n_tiles, tile))
-    g4[:, :, 3, :] = q.reshape(I, n_tiles, tile)
-    return g4

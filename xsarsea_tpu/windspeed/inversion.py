@@ -329,61 +329,82 @@ def _make_invert_fn(tables: InversionTables, chunk_size=256):
     return run
 
 
-def _build_g4_device(tables: InversionTables, dsig_co, tile,
-                     stride_w=1, stride_p=1):
-    """Assemble the expanded-cost operand (I, n_tiles, 4, tile) on device.
+def _build_g4_grouped(tables: InversionTables, dsig_co,
+                      stride_w=1, stride_p=1, tile_target=2048):
+    """Assemble the group-aligned expanded-cost operand on device.
 
     The scaled LUT is centered (l' -> l' - shift, same shift applied to the
     per-pixel s0' features) — (l-s0)^2 is shift-invariant and smaller
     magnitudes keep the expanded form's f32 absolute error tight.
 
-    With strides > 1 the (wspd, phi) grid is subsampled (always keeping the
-    last node) for the coarse first pass of the fast mode; the returned
-    ``iw_map`` maps coarse wspd indices back to fine rows.
+    Entries are packed *per wspd group* (WGROUP fine rows each): group g's
+    (possibly stride-subsampled, always keeping the last node) grid entries
+    occupy one aligned ``gsize`` chunk, padded with q=1e19 so padding can
+    never win a min. The kernel reduces each chunk to a group minimum in a
+    single VPU pass — no per-entry index bookkeeping — and downstream only
+    consumes the winning group (the slab refine re-searches all its rows).
 
     Built host-side in numpy and shipped with ONE device_put — the
     operand is used for many calls and building it on device would churn
     ~0.5 GB of intermediate buffers.
-    Returns (g4, lut_shift, iw_map, n_p_eff).
+    Returns (g4 (I, n_tiles, 4, gpt*gsize), lut_shift, n_groups, gsize).
     """
+    from xsarsea_tpu.ops.pallas_inversion import WGROUP
+
     lut = np.asarray(tables.co_lut, dtype=np.float32)
     u_full = np.asarray(tables.co_u, np.float32)
     v_full = np.asarray(tables.co_v, np.float32)
     I, W, P = lut.shape
-    iw_map = None
-    if stride_w != 1 or stride_p != 1:
-        iw = np.unique(np.r_[np.arange(0, W, stride_w), W - 1])
-        ip = np.unique(np.r_[np.arange(0, P, stride_p), P - 1])
-        lut = lut[:, iw][:, :, ip]
-        u_full = u_full[iw][:, ip]
-        v_full = v_full[iw][:, ip]
-        iw_map = jnp.asarray(iw.astype(np.int32))
-        W, P = len(iw), len(ip)
-    wp = W * P
-    wp_pad = ((wp + tile - 1) // tile) * tile
-    n_tiles = wp_pad // tile
-
-    def flat_pad(a, n_lead):
-        a = a.reshape(n_lead, wp)
-        return np.pad(a, ((0, 0), (0, wp_pad - wp)))
+    iw = np.unique(np.r_[np.arange(0, W, stride_w), W - 1])
+    ip = np.unique(np.r_[np.arange(0, P, stride_p), P - 1])
+    n_groups = (W + WGROUP - 1) // WGROUP
+    rows_of = [iw[(iw >= g * WGROUP) & (iw < (g + 1) * WGROUP)]
+               for g in range(n_groups)]
+    n_ip = len(ip)
+    max_e = max(len(r) for r in rows_of) * n_ip
+    gsize = ((max_e + 127) // 128) * 128
+    gpt = max(1, tile_target // gsize)
+    n_tiles = (n_groups + gpt - 1) // gpt
+    n_groups_pad = n_tiles * gpt
 
     scaled = lut / np.float32(dsig_co)
     finite = np.isfinite(scaled)
     shift = np.float32(
         (scaled[finite].max() + scaled[finite].min()) / 2.0)
-    ls = flat_pad(scaled - shift, I)
-    us = flat_pad(u_full[None] / 2.0, 1)
-    vs = flat_pad(v_full[None] / 2.0, 1)
-    q = ls * ls + us * us + vs * vs
-    # padded entries: huge q so their cost can never win
-    q[:, wp:] = 1e19
+    ls_full = scaled - shift
+    u_h = u_full / 2.0
+    v_h = v_full / 2.0
 
-    g4 = np.empty((I, n_tiles, 4, tile), dtype=np.float32)
-    g4[:, :, 0, :] = ls.reshape(I, n_tiles, tile)
-    g4[:, :, 1, :] = us.reshape(1, n_tiles, tile)
-    g4[:, :, 2, :] = vs.reshape(1, n_tiles, tile)
-    g4[:, :, 3, :] = q.reshape(I, n_tiles, tile)
-    return jnp.asarray(g4), shift, iw_map, P
+    g4 = np.zeros((I, n_groups_pad, 4, gsize), dtype=np.float32)
+    g4[:, :, 3, :] = 1e19  # padding: cost ~1e19, never selected
+    for g, rows in enumerate(rows_of):
+        ne = len(rows) * n_ip
+        if ne == 0:
+            continue
+        l = ls_full[:, rows][:, :, ip].reshape(I, ne)
+        uu = u_h[rows][:, ip].reshape(ne)
+        vv = v_h[rows][:, ip].reshape(ne)
+        g4[:, g, 0, :ne] = l
+        g4[:, g, 1, :ne] = uu
+        g4[:, g, 2, :ne] = vv
+        g4[:, g, 3, :ne] = l * l + uu * uu + vv * vv
+    g4 = g4.reshape(I, n_tiles, gpt, 4, gsize).transpose(0, 1, 3, 2, 4)
+    g4 = np.ascontiguousarray(g4).reshape(I, n_tiles, 4, gpt * gsize)
+
+    # bf16-split K-expansion (see _group_argmin_kernel): rows ordered
+    # (s_a, s_b, channel), with each a-side split replicated over s_b.
+    import ml_dtypes
+    bf16 = ml_dtypes.bfloat16
+    a0 = g4.astype(bf16)
+    r1 = g4 - a0.astype(np.float32)
+    a1 = r1.astype(bf16)
+    a2 = (r1 - a1.astype(np.float32)).astype(bf16)
+    zero = np.zeros_like(a0)
+    # 4th s_a block is all-zero padding: Mosaic requires the sublane (K)
+    # extent to be a multiple of the bf16 tile, so K = 48 rather than 36.
+    g48 = np.concatenate([np.tile(s, (1, 1, 3, 1))
+                          for s in (a0, a1, a2, zero)], axis=2)
+    return jnp.asarray(g48), shift, n_groups, gsize
 
 
 # coarse-grid spacing for the fast mode's first pass, in physical units:
@@ -413,13 +434,12 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
     """
     from xsarsea_tpu.ops.pallas_inversion import (
         DEFAULT_BLOCK,
-        DEFAULT_TILE,
         SLAB_BLOCK,
         SLAB_MARGIN,
         WGROUP,
         bucket_by_band,
         build_direct_arrays,
-        copol_argmin_pallas,
+        copol_group_argmin_pallas,
         nearest_index_sorted,
         nearest_index_uniform,
         slab_refine_pallas,
@@ -430,14 +450,14 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
     if coarse:
         step_w = float(np.median(np.diff(np.asarray(tables.co_wspd, np.float64))))
         step_p = float(np.median(np.diff(np.asarray(tables.co_phi, np.float64))))
-        g4_dev, lut_shift, iw_map, n_p_eff = _build_g4_device(
-            tables, float(dsig_co_val), DEFAULT_TILE,
+        g4_dev, lut_shift, n_groups_g4, gsize = _build_g4_grouped(
+            tables, float(dsig_co_val),
             stride_w=max(1, round(_COARSE_DW / step_w)),
             stride_p=max(1, round(_COARSE_DPHI / step_p)))
         margin = _FAST_MARGIN
     else:
-        g4_dev, lut_shift, iw_map, n_p_eff = _build_g4_device(
-            tables, float(dsig_co_val), DEFAULT_TILE)
+        g4_dev, lut_shift, n_groups_g4, gsize = _build_g4_grouped(
+            tables, float(dsig_co_val))
         margin = SLAB_MARGIN
     slab_rows = WGROUP + 2 * margin
     lut_shift = float(lut_shift)
@@ -449,6 +469,7 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
     n_wspd = np.asarray(tables.co_wspd).shape[0]
     n_phi = np.asarray(tables.co_phir).shape[0]
     n_wgroups = (n_wspd + WGROUP - 1) // WGROUP
+    assert n_wgroups == n_groups_g4
     wp_rows = lut_pad.shape[1]
     inv_dsig = 1.0 / float(dsig_co_val)
 
@@ -464,12 +485,12 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         def nearest_inc(values, _grid=jnp.asarray(tables.co_inc)):
             return nearest_index_sorted(_grid, values)
 
-    def invert_flat(tables, g4, iw_map, lut_pad, u_pad, v_pad,
+    def invert_flat(tables, g4, lut_pad, u_pad, v_pad,
                     inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im, dsig_co):
         n = inc.shape[0]
         f32 = jnp.float32
 
-        # --- stage 1: bucket by incidence band, expanded-form argmin
+        # --- stage 1: bucket by incidence band, expanded-form group argmin
         i_inc = nearest_inc(inc)
         perm, band_of_block = bucket_by_band(i_inc, n_bands=n_inc, block=block)
         valid = perm >= 0
@@ -489,19 +510,17 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         )
         feats = jnp.where(valid[:, None], pix1[pidx], jnp.nan)
 
-        args = copol_argmin_pallas(
-            g4, feats, band_of_block, block=block, interpret=interpret,
+        gstar = copol_group_argmin_pallas(
+            g4, feats, band_of_block, n_groups=n_wgroups, gsize=gsize,
+            block=block, interpret=interpret,
         ).reshape(-1)
 
-        flat0 = jnp.zeros((n,), jnp.int32).at[
+        g0 = jnp.zeros((n,), jnp.int32).at[
             jnp.where(valid, perm, n)
-        ].set(args, mode="drop")
-        iw0 = flat0 // n_p_eff
-        if iw_map is not None:  # coarse wspd index -> fine LUT row
-            iw0 = iw_map[iw0]
+        ].set(gstar, mode="drop")
 
         # --- stage 2: bucket by (band, wspd group), direct-form slab refine
-        key = i_inc * n_wgroups + iw0 // WGROUP
+        key = i_inc * n_wgroups + g0
         perm2, key_of_block = bucket_by_band(
             key, n_bands=n_inc * n_wgroups, block=SLAB_BLOCK)
         valid2 = perm2 >= 0
@@ -553,7 +572,7 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
     tables_slim = tables.to_device_slim()
 
     def run(*args):
-        return jitted(tables_slim, g4_dev, iw_map, lut_pad, u_pad, v_pad, *args)
+        return jitted(tables_slim, g4_dev, lut_pad, u_pad, v_pad, *args)
 
     return run
 
