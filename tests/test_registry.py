@@ -168,4 +168,7 @@ def test_lut_cache():
     model = get_model("gmf_cmod5n")
     a = model.to_lut(units="dB")
     b = model.to_lut(units="dB")
-    assert a is b
+    # cache hit: same payload, but a FRESH container so mutating one
+    # caller's attrs can never corrupt another's (round-1 advisor fix)
+    assert a.data is b.data
+    assert a is not b and a.attrs == b.attrs

@@ -287,6 +287,11 @@ class Gradients2D:
                 for d in ("line", "sample")
             ]))
             step = int(ws_px * self.window_step)
+            if step < 1:
+                raise ValueError(
+                    f"window_step={self.window_step} with ~{ws_px}px windows "
+                    f"gives a stride of {step} px; window_step must be "
+                    f">= 1/window_size_px (stride >= 1 pixel)")
             self._windows_at = {
                 "line": np.asarray(self.sigma0.coords["line"][::step]),
                 "sample": np.asarray(self.sigma0.coords["sample"][::step]),

@@ -149,9 +149,16 @@ class Model:
         ``units`` in {'linear', 'dB', None}, ``resolution`` in
         {'high', 'low', None} plus per-dim step overrides.
         """
-        key = (units, tuple(sorted(kwargs.items())))
+        # list-valued kwargs (e.g. range overrides) are normalized to
+        # tuples so the key stays hashable; cache hits return a fresh
+        # container (copy()) so a caller mutating .attrs/.data can never
+        # corrupt later inversions built from the same model.
+        def _hashable(v):
+            return tuple(v) if isinstance(v, (list, np.ndarray)) else v
+
+        key = (units, tuple(sorted((k, _hashable(v)) for k, v in kwargs.items())))
         if key in self._lut_cache:
-            return self._lut_cache[key]
+            return self._lut_cache[key].copy()
 
         # The resolution kwarg reaches _raw_lut only when explicitly given —
         # so by default an analytic model generates at its native (low) grid
@@ -177,7 +184,7 @@ class Model:
         lut = lut.assign_attrs(model=self.name, pol=self.pol)
         lut.name = "sigma0_model"
         self._lut_cache[key] = lut
-        return lut
+        return lut.copy()
 
     def to_netcdf(self, file):
         """Serialize this model as a dB LUT netCDF file (models.py:232-262).

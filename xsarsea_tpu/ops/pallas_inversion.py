@@ -60,14 +60,16 @@ def nearest_index_uniform(g0, step, n, values):
     """
     g0 = float(g0)
     step = float(step)
+    # clip to [0, n-1] (not [1, n-2]) so 1- and 2-point grids stay valid:
+    # with n=2, min>max clipping lets the dk=-1 candidate go to -1 and wrap
     k0 = jnp.clip(
         jnp.floor((values - g0) * jnp.asarray(1.0 / step, values.dtype)),
-        1, n - 2,
+        0, n - 1,
     ).astype(jnp.int32)
     best_d = jnp.full_like(values, jnp.inf)
     best_k = jnp.zeros_like(k0)
     for dk in (-1, 0, 1):
-        k = k0 + dk
+        k = jnp.clip(k0 + dk, 0, n - 1)
         d = jnp.abs(values - (g0 + k.astype(values.dtype) *
                               jnp.asarray(step, values.dtype)))
         better = d < best_d

@@ -58,7 +58,8 @@ def load_config():
     Mirrors ``xsarsea.utils._load_config`` (reference utils.py:27-43).
     """
     config = dict(_DEFAULT_CONFIG)
-    pkg_config = os.path.join(os.path.dirname(__file__), "config.yml")
+    pkg_config = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "config.yml")
     for path in (pkg_config, os.path.expanduser("~/.xsarsea_tpu/config.yml")):
         if os.path.exists(path):
             with open(path) as f:

@@ -21,13 +21,16 @@ Algorithm (per pixel, faithfully matching windspeed.py:183-282):
 * NaN semantics: NaN incidence → all NaN; valid copol sigma0 with NaN
   ancillary → NaN; NaN encodes land/missing data throughout.
 
-Two execution modes:
+Execution modes (see :func:`invert_pixels`):
 
-* ``mode='exact'`` — full argmin over the complete grid (bit-matches the
+* ``mode='exact'`` — portable full-grid argmin (bit-matches the
   reference's np.argmin first-minimum tie rule in f64).
-* ``mode='fast'`` — coarse-to-fine: top-M argmin on a strided coarse grid,
-  then exact refinement windows on the fine grid around each candidate.
-  ~15-30x less compute; validated to match 'exact' (see tests).
+* ``mode='pallas'`` — fused TPU kernels: a coarse-subsampled
+  expanded-form MXU group-argmin pass, then a direct-form VPU slab
+  refine restoring exact f32 costs and the first-minimum tie rule.
+* ``mode='pallas_exact'`` — same two kernels with the first pass on the
+  full grid; ``'*_interpret'`` variants run the kernels in interpreter
+  mode for CPU testing; ``'auto'`` picks pallas on TPU, exact elsewhere.
 """
 
 from __future__ import annotations
@@ -125,6 +128,7 @@ class InversionTables:
 
         self._coarse = None
         self._device_full = None
+        self._invert_fn_cache = {}
 
     def _copy_with(self, **overrides):
         obj = object.__new__(InversionTables)
@@ -132,6 +136,7 @@ class InversionTables:
         obj.__dict__.update(overrides)
         obj._coarse = None
         obj._device_full = None
+        obj._invert_fn_cache = {}
         return obj
 
     def to_device(self):
@@ -577,28 +582,30 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
     return run
 
 
-_invert_fn_cache = {}
-
-
 def _get_invert_fn(tables, chunk_size, mode="exact", dsig_co=0.1):
+    # The compiled-closure cache lives ON the tables instance, so its
+    # lifetime is tied to the tables it was built from (an id()-keyed
+    # global dict can hand a stale closure to a new object that reuses a
+    # garbage-collected id).
+    cache = tables.__dict__.setdefault("_invert_fn_cache", {})
     if mode.startswith("pallas"):
         # the pallas postprocess only does small per-pixel gathers, so it
         # wants much larger chunks than the exact full-grid path
         chunk_size = max(chunk_size, 8192)
-    key = (id(tables), chunk_size, mode,
+    key = (chunk_size, mode,
            float(dsig_co) if mode.startswith("pallas") else None)
-    if key not in _invert_fn_cache:
+    if key not in cache:
         if mode == "exact":
-            _invert_fn_cache[key] = _make_invert_fn(tables, chunk_size)
+            cache[key] = _make_invert_fn(tables, chunk_size)
         elif mode.startswith("pallas"):
-            _invert_fn_cache[key] = _make_pallas_invert_fn(
+            cache[key] = _make_pallas_invert_fn(
                 tables, dsig_co, chunk_size,
                 interpret=mode.endswith("_interpret"),
                 coarse="exact" not in mode,
             )
         else:
             raise ValueError(f"unknown inversion mode '{mode}'")
-    return _invert_fn_cache[key]
+    return cache[key]
 
 
 def invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
