@@ -276,3 +276,100 @@ def test_plot_gradients_smoke(tmp_path):
     ax2 = pg.histogram_plot(line=0, sample=0)
     ax2.figure.savefig(tmp_path / "hist.png")
     plt.close(ax2.figure)
+
+
+# -------------------------------------------- end-to-end pipeline parity
+
+def _blocked_coords(c):
+    n = (len(c) // 2) * 2
+    return np.asarray(c, np.float64)[:n].reshape(-1, 2).mean(axis=1)
+
+
+def _oracle_full_histogram(img, line, sample, window_size, windows_at, bins,
+                           ref_kernel):
+    """Hand-assembled reference pipeline for ONE (image, window_size):
+    R2 -> sqrt -> Scharr local gradients -> centered rolling windows
+    selected at `windows_at` (nearest) -> reference gradient_histogram,
+    normalized by window pixels (reference gradients.py:89-205)."""
+    import warnings
+
+    i2 = oracle_R2(img)
+    l1, s1 = _blocked_coords(line), _blocked_coords(sample)
+    ampl = np.sqrt(i2)
+    g2, _, c = oracle_local_gradients(ampl)
+    l2, s2 = _blocked_coords(l1), _blocked_coords(s1)
+
+    win = int(np.mean([window_size / (l2[1] - l2[0]),
+                       window_size / (s2[1] - s2[0])]))
+    wl = np.asarray(windows_at["line"], np.float64)
+    ws_ = np.asarray(windows_at["sample"], np.float64)
+    il = np.abs(l2[None, :] - wl[:, None]).argmin(axis=1)
+    isamp = np.abs(s2[None, :] - ws_[:, None]).argmin(axis=1)
+
+    # NaN-padded centered windows (xarray rolling(center=True).construct)
+    half = (win - 1) // 2
+    pg2 = np.full((g2.shape[0] + 2 * win, g2.shape[1] + 2 * win), np.nan,
+                  complex)
+    pc = np.full_like(pg2, np.nan, dtype=float)
+    pg2[win:win + g2.shape[0], win:win + g2.shape[1]] = g2
+    pc[win:win + g2.shape[0], win:win + g2.shape[1]] = c
+
+    weight = np.zeros((len(il), len(isamp), len(bins)))
+    ratio = np.zeros((len(il), len(isamp)))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for a, i in enumerate(il):
+            for b, j in enumerate(isamp):
+                wg2 = pg2[win + i - half: win + i - half + win,
+                          win + j - half: win + j - half + win]
+                wc = pc[win + i - half: win + i - half + win,
+                        win + j - half: win + j - half + win]
+                h, r = ref_kernel(wg2, wc, bins)
+                weight[a, b] = h / (win * win)
+                ratio[a, b] = 0.0 if np.isnan(r) else r
+    return weight, ratio
+
+
+def test_gradients_full_pipeline_parity():
+    """Assembled multiscale Gradients.histogram vs the reference stages
+    composed end-to-end, including windows_at alignment across scales
+    (reference gradients.py:89-125, 151-205, 208-245, 248-334)."""
+    ref = load_ref_gradients()
+    img = streak_image(480, 448, angle_deg=25.0)
+    line = np.arange(480, dtype=float)
+    sample = np.arange(448, dtype=float)
+    da = DimArray(img, dims=("line", "sample"),
+                  coords={"line": line, "sample": sample})
+
+    sizes = [96, 160]
+    factors = [1, 2]
+    g = Gradients(da, windows_sizes=sizes, downscales_factors=factors,
+                  window_step=1)
+    got = g.histogram["weight"]  # (downscale_factor, window_size, l, s, ang)
+    got_r = g.histogram["used_ratio"]
+
+    bins = np.linspace(-np.pi / 2, np.pi / 2, 73)
+    bins = (bins[1:] + bins[:-1]) / 2
+
+    # windows_at from the FIRST combo (factor 1, first size), step = win px
+    step = int(sizes[0] * 1)
+    windows_at = {"line": line[::step], "sample": sample[::step]}
+
+    for fi, f in enumerate(factors):
+        if f == 1:
+            img_f, line_f, sample_f = img, line, sample
+        else:
+            img_f = cv2.resize(img, (448 // f, 480 // f),
+                               interpolation=cv2.INTER_AREA)
+            line_f = line[: (480 // f) * f].reshape(-1, f).mean(axis=1)
+            sample_f = sample[: (448 // f) * f].reshape(-1, f).mean(axis=1)
+        for si, ws in enumerate(sizes):
+            w_exp, r_exp = _oracle_full_histogram(
+                img_f, line_f, sample_f, ws, windows_at, bins,
+                ref.gradient_histogram)
+            np.testing.assert_allclose(
+                np.asarray(got.data)[fi, si], w_exp, rtol=1e-7, atol=1e-10,
+                err_msg=f"weight mismatch at factor={f} window={ws}")
+            np.testing.assert_allclose(
+                np.asarray(got_r.data)[fi, si], r_exp, rtol=1e-7, atol=1e-12,
+                err_msg=f"used_ratio mismatch at factor={f} window={ws}")

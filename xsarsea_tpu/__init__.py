@@ -21,9 +21,12 @@ __all__ = [
     "DimArray",
     "windspeed",
     "gradients",
+    "to_dimarray",
+    "to_dataarray",
 ]
 
 from xsarsea_tpu.dimarray import DimArray
+from xsarsea_tpu.interop import to_dataarray, to_dimarray
 from xsarsea_tpu.detrend import read_sarwing_owi, sigma0_detrend
 from xsarsea_tpu.directions import (
     dir_meteo_to_oceano,

@@ -15,12 +15,14 @@ import jax
 import jax.numpy as jnp
 
 from xsarsea_tpu.dimarray import DimArray
+from xsarsea_tpu.interop import xarray_io
 from xsarsea_tpu.models.base import get_model
 from xsarsea_tpu.utils import logger, timing
 
 __all__ = ["sigma0_detrend", "read_sarwing_owi"]
 
 
+@xarray_io
 @timing(logger=logger.info)
 def sigma0_detrend(
     sigma0,

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from xsarsea_tpu.dimarray import DimArray, DimDataset
+from xsarsea_tpu.interop import is_dataarray_like, to_dataset, to_dimarray
 from xsarsea_tpu.ops.conv2d import (
     B2_KERNEL,
     conv2d_same,
@@ -60,6 +61,8 @@ __all__ = [
 
 
 def _as_da(x, dims=("line", "sample")):
+    if is_dataarray_like(x):
+        x = to_dimarray(x)
     if isinstance(x, DimArray):
         missing = {d: np.arange(x.sizes[d]) for d in x.dims if d not in x.coords}
         return x.assign_coords(**missing) if missing else x
@@ -255,6 +258,7 @@ class Gradients2D:
             raise ValueError("window_step and windows_at are mutually exclusive")
         if window_step is None and windows_at is None:
             window_step = 1
+        self._da_cls = type(sigma0) if is_dataarray_like(sigma0) else None
         self.sigma0 = _as_da(sigma0)
         self.window_size = window_size
         self.window_step = window_step
@@ -304,11 +308,22 @@ class Gradients2D:
 
     @property
     def histogram(self):
-        """Per-window direction histogram as a DimDataset (weight, used_ratio).
+        """Per-window direction histogram (weight, used_ratio).
 
         Equivalent of the reference histogram property (gradients.py:89-125)
         including the extra-bin suppression and window-pixel normalization.
+        Returns a DimDataset — or an xr.Dataset when sigma0 came in as an
+        xr.DataArray (reference parity: gradients.py:120-125).
         """
+        ds = self._histogram_native
+        if self._da_cls is not None:
+            xr_ds = to_dataset(ds.variables, self._da_cls)
+            if xr_ds is not None:
+                return xr_ds
+        return ds
+
+    @property
+    def _histogram_native(self):
         lg = self.local_gradients
         g2, g2_ang, c = lg["G2_abs"], lg["G2_angle"], lg["c"]
 
@@ -369,11 +384,12 @@ class StackedGradients:
 
     @property
     def histogram(self):
-        ref_hist = self._ref.histogram
+        ref_hist = self._ref._histogram_native
         line = ref_hist["weight"].coords["line"]
         sample = ref_hist["weight"].coords["sample"]
         aligned = [
-            g.histogram.interp(line=line, sample=sample) for g in self._others
+            g._histogram_native.interp(line=line, sample=sample)
+            for g in self._others
         ]
         return DimDataset.concat([ref_hist] + aligned, dim="stacked")
 
@@ -390,6 +406,7 @@ class Gradients:
 
     def __init__(self, sigma0, windows_sizes=[1600], downscales_factors=[1],
                  window_step=1):
+        self._da_cls = type(sigma0) if is_dataarray_like(sigma0) else None
         sigma0 = _as_da(sigma0) if not isinstance(sigma0, DimArray) else sigma0
         self._drop_pol = False
         if "pol" not in sigma0.dims:
@@ -433,6 +450,10 @@ class Gradients:
         ds = DimDataset(out)
         if self._drop_pol:
             ds = ds.isel(pol=0)
+        if self._da_cls is not None:
+            xr_ds = to_dataset(ds.variables, self._da_cls)
+            if xr_ds is not None:
+                return xr_ds
         return ds
 
     @staticmethod

@@ -144,6 +144,10 @@ class GmfModel(Model):
         ``broadcast=True``) → elementwise broadcast evaluation. ``numba``
         is accepted for API compatibility and ignored (XLA compiles here).
         """
+        if self._needs_phi and phi is None:
+            raise ValueError(
+                f"model {self.name} ({self.pol}) requires a phi argument "
+                "(wind direction relative to antenna, degrees)")
         vals = [v for v in (inc, wspd, phi) if v is not None]
         all_scalar = all(np.isscalar(v) for v in vals)
         all_1d = all(hasattr(v, "ndim") and v.ndim == 1 for v in vals)

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from xsarsea_tpu.dimarray import DimArray
+from xsarsea_tpu.interop import xarray_io
 
 __all__ = ["get_dsig", "get_dsig_wspd", "nesz_flattening"]
 
@@ -40,6 +41,7 @@ def _wrap_like(template, data):
     return data
 
 
+@xarray_io
 def get_dsig_wspd(name, U_crosspol, SNR_cr, Umax=30.0):
     """Wind-speed-dependent dsig blend alpha (reference utils.py:18-44)."""
     try:
@@ -55,6 +57,7 @@ def get_dsig_wspd(name, U_crosspol, SNR_cr, Umax=30.0):
     return _wrap_like(U_crosspol, xp.clip(alpha_core * drop, 0.0, 1.0))
 
 
+@xarray_io
 def get_dsig(name, inc, sigma0_cr, nesz_cr):
     """Named dsig_cr weighting for the crosspol cost term (utils.py:47-91)."""
     inc_d, s0, nesz = _data(inc), _data(sigma0_cr), _data(nesz_cr)
@@ -108,6 +111,7 @@ def _flatten_rows(noise, inc_1d, col_mean):
     return jax.vmap(one_row)(noise)
 
 
+@xarray_io
 def nesz_flattening(noise, inc):
     """Flatten NESZ by a per-row order-1 polynomial fit in dB (utils.py:94-163).
 

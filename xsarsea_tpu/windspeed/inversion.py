@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from xsarsea_tpu.dimarray import DimArray
+from xsarsea_tpu.interop import xarray_io
 from xsarsea_tpu.models.base import get_model
 from xsarsea_tpu.utils import timing
 
@@ -682,6 +683,7 @@ def _to_numpy(x):
     return np.asarray(x)
 
 
+@xarray_io
 @timing(logger.debug)
 def invert_from_model(
     inc,
