@@ -115,7 +115,11 @@ class InversionTables:
             phi = np.asarray(lut_co_db.coords["phi"], dtype=np.float64)
             self.co_wspd = wspd.astype(np_dtype)
             self.co_phi = phi.astype(np_dtype)
-            # symmetric LUT detection (windspeed.py:152-156)
+            # symmetric LUT detection (windspeed.py:152-156). NOTE: the
+            # reference rule is also True for a full 0..360 span
+            # (180 - 360 < 2), so 360-phi LUTs deliberately run through
+            # the symmetric path too — characterized in
+            # tests/test_inversion.py::test_phi_360_lut_characterization.
             self.phi_180 = bool((180.0 - (phi[-1] - phi[0])) < 2.0)
             phir = np.deg2rad(phi)
             self.co_u = (wspd[:, None] * np.cos(phir)[None, :]).astype(np_dtype)
