@@ -373,3 +373,45 @@ def test_gradients_full_pipeline_parity():
             np.testing.assert_allclose(
                 np.asarray(got_r.data)[fi, si], r_exp, rtol=1e-7, atol=1e-12,
                 err_msg=f"used_ratio mismatch at factor={f} window={ws}")
+
+
+def test_plot_gradients_hv_helpers():
+    """Style/combo machinery of the interactive backend (no holoviews)."""
+    img = streak_image(256, 256)
+    da = DimArray(
+        np.stack([img, img * 1.05]), dims=("pol", "line", "sample"),
+        coords={"pol": np.array(["VV", "VH"]), "line": np.arange(256.0),
+                "sample": np.arange(256.0)})
+    g = Gradients(da, windows_sizes=[64, 96], downscales_factors=[1])
+    hist = g.histogram
+    pg = PlotGradients(hist)
+
+    combos = pg._combos()
+    # pol(2) x downscale_factor(1) x window_size(2) = 4 combos
+    assert len(combos) == 4
+    st = pg._style_for({"pol": 1, "window_size": 0, "downscale_factor": 0})
+    assert st["line_dash"] == "dotted" and st["line_color"] == "blue"
+    line, sample, ang, wgt = pg._peak_2d(combos[0])
+    assert ang.shape == (len(line), len(sample))
+    # nearest-center snapping
+    s, l = pg._nearest_center(sample[0] + 0.1, line[-1] + 5.0)
+    assert s == sample[0] and l == line[-1]
+
+
+def test_plot_gradients_holoviews_interactive():
+    """Interactive linked view (reference gradients.py:441-585).
+
+    Skipped in environments without holoviews (this CI image has none);
+    the style/peak machinery it rides on is covered above.
+    """
+    hv = pytest.importorskip("holoviews")
+    hv.extension("bokeh")
+    img = streak_image(256, 256)
+    g = Gradients2D(img, window_size=64, window_step=1)
+    pg = PlotGradients(g.histogram)
+    overlay = pg.hv_vectorfield(tap=True)
+    assert overlay is not None
+    dm = pg.mouse_histogram()
+    assert dm is not None
+    hp = pg.hv_histogram_plot(sample=100, line=100)
+    assert hp is not None

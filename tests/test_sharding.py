@@ -101,3 +101,50 @@ def test_invert_scenes_batch(tables):
         m = ~np.isnan(np.abs(co_ref))
         np.testing.assert_allclose(co.reshape(-1)[m], co_ref[m], atol=1e-9)
         np.testing.assert_allclose(dual.reshape(-1)[m], dual_ref[m], atol=1e-9)
+
+
+def test_sharded_streaks_histogram_matches_single_device():
+    """Full gradients pipeline (local_gradients -> windows -> histogram)
+    spatially sharded over the mesh == the single-device Gradients2D
+    result (reference map_overlap analog, gradients.py:649-667)."""
+    from xsarsea_tpu.dimarray import DimArray
+    from xsarsea_tpu.gradients import Gradients2D, streaks_histogram_core
+    from xsarsea_tpu.parallel import sharded_streaks_histogram
+
+    rng = np.random.default_rng(3)
+    ny, nx = 512, 384
+    y, x = np.mgrid[0:ny, 0:nx]
+    img = np.abs(1.0 + 0.5 * np.sin(0.35 * (x + 0.6 * y))
+                 + 0.1 * rng.normal(size=(ny, nx))) + 0.01
+
+    da = DimArray(img, dims=("line", "sample"),
+                  coords={"line": np.arange(ny, dtype=float),
+                          "sample": np.arange(nx, dtype=float)})
+    g = Gradients2D(da, window_size=128, window_step=1)
+    ref = g.histogram  # single-device DimDataset
+    ref_w = np.asarray(ref["weight"].data)
+    ref_r = np.asarray(ref["used_ratio"].data)
+
+    # the class's own window geometry, in lg pixels
+    lg_line = np.asarray(g.local_gradients["G2_abs"].coords["line"])
+    lg_sample = np.asarray(g.local_gradients["G2_abs"].coords["sample"])
+    at = g.windows_at
+    cl = np.abs(lg_line[None, :] - np.asarray(at["line"])[:, None]).argmin(1)
+    cs = np.abs(lg_sample[None, :] - np.asarray(at["sample"])[:, None]).argmin(1)
+    win = int(np.mean([128 / (lg_line[1] - lg_line[0]),
+                       128 / (lg_sample[1] - lg_sample[0])]))
+    bins = np.linspace(-np.pi / 2, np.pi / 2, 73)
+    bins = (bins[1:] + bins[:-1]) / 2
+
+    # the jit-able core reproduces the class pipeline exactly
+    w_core, r_core = streaks_histogram_core(
+        jnp.asarray(img), jnp.asarray(cl.astype(np.int32)),
+        jnp.asarray(cs.astype(np.int32)), win, jnp.asarray(bins))
+    np.testing.assert_allclose(
+        np.asarray(w_core).reshape(ref_w.shape), ref_w, rtol=1e-12, atol=1e-13)
+
+    # sharded over the 8-device mesh: halo exchange + window gathers by SPMD
+    mesh = make_mesh(n_data=8, n_model=1)
+    w_sh, r_sh = sharded_streaks_histogram(img, cl, cs, win, bins, mesh)
+    np.testing.assert_allclose(w_sh, ref_w, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(r_sh, ref_r, rtol=1e-10, atol=1e-12)

@@ -178,7 +178,7 @@ def _split3_bf16(a):
 
 
 def _group_argmin_kernel(feats_ref, g4_ref, out_ref, gmin_scr, *,
-                         tile, block, gpt, n_groups):
+                         tile, block, gpt, n_groups, splits=3):
     """One (pixel-block, grid-tile) step: cost matmul + per-wgroup mins.
 
     The Bayesian cost expands as
@@ -189,14 +189,17 @@ def _group_argmin_kernel(feats_ref, g4_ref, out_ref, gmin_scr, *,
     constant that cannot move the per-pixel argmin. So the whole cost tile
     is ONE MXU matmul: ``J = G^T(K, tile) @ F(K, block)``.
 
-    The matmul runs as a *single* DEFAULT-precision bf16 MXU pass at
-    f32-dot accuracy: both operands are pre-split into exact bf16 triples
-    (see :func:`_split3_bf16`) and all 9 cross products of each logical
-    channel occupy their own K slot — K = 3 s_a x 3 s_b x 4 channels = 36
-    (padded to 48 with zero rows for bf16 sublane tiling), still one
-    systolic pass since K < 128. A f32 `Precision.HIGHEST` dot computes
-    the same sums with SIX bf16 passes — measured 4.1x slower — and
-    Mosaic does not lower `Precision.HIGH`.
+    The matmul runs as a *single* DEFAULT-precision bf16 MXU pass: both
+    operands are pre-split into exact bf16 terms (:func:`_split3_bf16`)
+    whose cross products each occupy a K slot. ``splits=3`` gives exact
+    f32-dot accuracy — K = 3 s_a x 3 s_b x 4 channels = 36, padded to 48
+    with a zero s_a block for bf16 sublane tiling. ``splits=2`` gives
+    ~2^-16 relative accuracy at K = 2 x 2 x 4 = 16 with a ~3x smaller
+    grid operand — ample for the coarse pass, whose candidate feeds a
+    slab refine with a 24-row margin. Either way it is one systolic pass
+    (K < 128); a f32 `Precision.HIGHEST` dot computes the same sums with
+    SIX bf16 passes — measured 4.1x slower — and Mosaic does not lower
+    `Precision.HIGH`.
 
     Downstream only needs the winning *wspd group* (the slab refine
     re-searches every row around it in exact direct form), so instead of
@@ -207,17 +210,18 @@ def _group_argmin_kernel(feats_ref, g4_ref, out_ref, gmin_scr, *,
     slab as the full argmin would (lowest tied group == group of the
     lowest tied flat index, since entries are wspd-major).
 
-    feats_ref: (4, block) f32; g4_ref: (36, tile) bf16, K-ordered
+    feats_ref: (4, block) f32; g4_ref: (K, tile) bf16, K-ordered
     (s_a, s_b, channel) with the a-split replicated over s_b;
     out_ref: (1, block) i32; gmin_scr: (n_tiles*gpt, block) f32.
     """
     t = pl.program_id(1)
 
-    b0, b1, b2 = _split3_bf16(feats_ref[:])        # each (4, block) bf16
-    b12 = jnp.concatenate([b0, b1, b2], axis=0)    # (12, block): (s_b, c)
-    # 4 copies: the 4th s_a block pairs with all-zero g4 rows (K padded
-    # to 48 — Mosaic requires bf16 sublane extents in multiples of 16)
-    feats_k = jnp.concatenate([b12, b12, b12, b12], axis=0)  # (48, block)
+    bs = _split3_bf16(feats_ref[:])[:splits]       # each (4, block) bf16
+    b_cat = jnp.concatenate(bs, axis=0)            # (4*splits, block): (s_b, c)
+    # s_a copies of the b-side rows; splits=3 carries a 4th copy pairing
+    # with the all-zero g4 block (K padded 36 -> 48 for bf16 sublanes)
+    reps = 4 if splits == 3 else splits
+    feats_k = jnp.concatenate([b_cat] * reps, axis=0)  # (K, block)
 
     j = lax.dot_general(
         g4_ref[:], feats_k,
@@ -247,10 +251,12 @@ def copol_group_argmin_pallas(g4, feats, band_of_block, n_groups, gsize,
 
     Parameters
     ----------
-    g4 : (I, n_tiles, 48, tile) bf16 — per incidence slice and grid tile,
-        the bf16-split expanded-cost rows (see ``_group_argmin_kernel``),
-        packed so each aligned ``gsize`` chunk holds one wspd group's
-        (sub-sampled) grid entries, padded with q=1e19.
+    g4 : (I, n_tiles, K, tile) bf16 with K in {16, 48} — per incidence
+        slice and grid tile, the bf16-split expanded-cost rows (see
+        ``_group_argmin_kernel``; K=16 -> 2-split coarse accuracy,
+        K=48 -> exact f32 dot), packed so each aligned ``gsize`` chunk
+        holds one wspd group's (sub-sampled) grid entries, padded with
+        q=1e19.
     feats : (n_blocks*block, 4) f32 — per-pixel (-2*s0', -2*ma', -2*mz', 1).
     band_of_block : (n_blocks,) i32 — incidence slice per block.
     n_groups : true number of wspd groups (ceil(W / WGROUP)).
@@ -260,8 +266,10 @@ def copol_group_argmin_pallas(g4, feats, band_of_block, n_groups, gsize,
     """
     n_blocks = band_of_block.shape[0]
     n_tiles, tile = g4.shape[1], g4.shape[3]
+    k_rows = g4.shape[2]
     assert tile % gsize == 0
-    assert g4.dtype == jnp.bfloat16 and g4.shape[2] == 48
+    assert g4.dtype == jnp.bfloat16 and k_rows in (16, 48)
+    splits = 3 if k_rows == 48 else 2
     gpt = tile // gsize
     # pixels on lanes: feats (n_blocks, 4, block)
     feats = feats.reshape(n_blocks, block, 4).transpose(0, 2, 1)
@@ -272,7 +280,7 @@ def copol_group_argmin_pallas(g4, feats, band_of_block, n_groups, gsize,
         in_specs=[
             pl.BlockSpec((1, 4, block), lambda b, t, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 48, tile), lambda b, t, s: (s[b], t, 0, 0),
+            pl.BlockSpec((1, 1, k_rows, tile), lambda b, t, s: (s[b], t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, block), lambda b, t, s: (b, 0, 0),
@@ -285,7 +293,7 @@ def copol_group_argmin_pallas(g4, feats, band_of_block, n_groups, gsize,
     def kernel(band_ref, feats_ref, g4_ref, out_ref, gmin_scr):
         _group_argmin_kernel(feats_ref[0], g4_ref.at[0, 0], out_ref.at[0],
                              gmin_scr, tile=tile, block=block, gpt=gpt,
-                             n_groups=n_groups)
+                             n_groups=n_groups, splits=splits)
 
     return pl.pallas_call(
         kernel,

@@ -340,7 +340,7 @@ def _make_invert_fn(tables: InversionTables, chunk_size=256):
 
 
 def _build_g4_grouped(tables: InversionTables, dsig_co,
-                      stride_w=1, stride_p=1, tile_target=2048):
+                      stride_w=1, stride_p=1, tile_target=2048, splits=3):
     """Assemble the group-aligned expanded-cost operand on device.
 
     The scaled LUT is centered (l' -> l' - shift, same shift applied to the
@@ -403,18 +403,27 @@ def _build_g4_grouped(tables: InversionTables, dsig_co,
 
     # bf16-split K-expansion (see _group_argmin_kernel): rows ordered
     # (s_a, s_b, channel), with each a-side split replicated over s_b.
+    #
+    # splits=3 -> exact-f32 dot (all 9 cross products; K padded 36->48
+    # with a zero s_a block, Mosaic wants bf16 sublane multiples of 16).
+    # splits=2 -> K = 2x2x4 = 16 exactly, ~3x smaller operand, relative
+    # dot error ~2^-16 — negligible against the slab-refine margin, so
+    # the coarse (subsampled) mode uses it; the full-grid 'pallas_exact'
+    # mode keeps splits=3 for bit-parity with the exact path.
     import ml_dtypes
     bf16 = ml_dtypes.bfloat16
     a0 = g4.astype(bf16)
     r1 = g4 - a0.astype(np.float32)
     a1 = r1.astype(bf16)
-    a2 = (r1 - a1.astype(np.float32)).astype(bf16)
-    zero = np.zeros_like(a0)
-    # 4th s_a block is all-zero padding: Mosaic requires the sublane (K)
-    # extent to be a multiple of the bf16 tile, so K = 48 rather than 36.
-    g48 = np.concatenate([np.tile(s, (1, 1, 3, 1))
-                          for s in (a0, a1, a2, zero)], axis=2)
-    return jnp.asarray(g48), shift, n_groups, gsize
+    if splits == 3:
+        a2 = (r1 - a1.astype(np.float32)).astype(bf16)
+        zero = np.zeros_like(a0)
+        gk = np.concatenate([np.tile(s, (1, 1, 3, 1))
+                             for s in (a0, a1, a2, zero)], axis=2)
+    else:
+        gk = np.concatenate([np.tile(s, (1, 1, 2, 1))
+                             for s in (a0, a1)], axis=2)
+    return jnp.asarray(gk), shift, n_groups, gsize
 
 
 # coarse-grid spacing for the fast mode's first pass, in physical units:
@@ -463,11 +472,11 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         g4_dev, lut_shift, n_groups_g4, gsize = _build_g4_grouped(
             tables, float(dsig_co_val),
             stride_w=max(1, round(_COARSE_DW / step_w)),
-            stride_p=max(1, round(_COARSE_DPHI / step_p)))
+            stride_p=max(1, round(_COARSE_DPHI / step_p)), splits=2)
         margin = _FAST_MARGIN
     else:
         g4_dev, lut_shift, n_groups_g4, gsize = _build_g4_grouped(
-            tables, float(dsig_co_val))
+            tables, float(dsig_co_val), splits=3)
         margin = SLAB_MARGIN
     slab_rows = WGROUP + 2 * margin
     lut_shift = float(lut_shift)
@@ -615,7 +624,7 @@ def _get_invert_fn(tables, chunk_size, mode="exact", dsig_co=0.1):
 
 def invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
                   ancillary_wind, dsig_co=0.1, chunk_size=256, mode="auto",
-                  device_output=False):
+                  device_output=False, piece_size=None):
     """Invert flat pixel arrays against prepared tables.
 
     All inputs are 1-D arrays of the same length (sigma0 already in dB);
@@ -654,19 +663,33 @@ def invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
     dsig_dev = jnp.asarray(dsig_co, dtype=dtype)
     n = np.shape(inc)[0]
 
-    # Large inputs stream in fixed-size pieces: each piece's host->device
-    # transfer overlaps the previous piece's (async-dispatched) kernels.
-    _PIECE = 1 << 22
+    # Large inputs stream in fixed-size pieces, double-buffered: a worker
+    # thread casts + host->device-transfers piece k+1 while the main
+    # thread's (async-dispatched) kernels chew on piece k. On backends
+    # where the transfer itself blocks the issuing thread, this overlaps
+    # it with compute instead of serializing the pipeline.
+    _PIECE = piece_size or (1 << 22)
     if n > _PIECE + (_PIECE >> 1):
-        outs = []
-        for lo in range(0, n, _PIECE):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def prep(lo):
             hi = min(lo + _PIECE, n)
             piece = [np.ascontiguousarray(a[lo:hi], dtype=np_dtype)
                      for a in arrs]
             if hi - lo < _PIECE:  # pad the tail piece: one jit shape only
                 piece = [np.pad(a, (0, _PIECE - (hi - lo)),
                                 constant_values=np.nan) for a in piece]
-            outs.append(fn(*(jnp.asarray(a) for a in piece), dsig_dev))
+            return [jnp.asarray(a) for a in piece]
+
+        outs = []
+        offsets = list(range(0, n, _PIECE))
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(prep, offsets[0])
+            for i, lo in enumerate(offsets):
+                piece = fut.result()
+                if i + 1 < len(offsets):
+                    fut = pool.submit(prep, offsets[i + 1])
+                outs.append(fn(*piece, dsig_dev))
         co_re, co_im, du_re, du_im = (
             jnp.concatenate(parts)[:n] for parts in zip(*outs))
     else:
