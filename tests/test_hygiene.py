@@ -185,3 +185,41 @@ def test_read_netcdf4_convention_lut(tmp_path):
     out = m.to_lut(units="dB", resolution=None)
     assert out.dims == ("incidence", "wspd", "phi")
     np.testing.assert_allclose(np.asarray(out.data), data)
+
+
+# ------------------------------------------------------- profiling utilities
+
+def test_timing_logs_time_and_memory(caplog):
+    import logging
+
+    from xsarsea_tpu.utils import timing
+
+    records = []
+
+    @timing(logger=records.append)
+    def work(x):
+        return jnp.asarray(x) * 2
+
+    out = work(np.arange(8.0))
+    np.testing.assert_allclose(np.asarray(out), np.arange(8.0) * 2)
+    assert len(records) == 1
+    assert "timing work" in records[0] and "mem:" in records[0]
+
+
+def test_device_memory_stats_shape():
+    from xsarsea_tpu.utils import device_memory_stats
+
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)  # {} on CPU is fine
+    for v in stats.values():
+        assert "bytes_in_use" in v
+
+
+def test_trace_context(tmp_path):
+    from xsarsea_tpu.utils import trace
+
+    with trace(tmp_path / "trace"):
+        jnp.arange(16.0).sum().block_until_ready()
+    # a trace run produces a plugins/profile dir when the profiler works;
+    # on backends without profiler support the context must still no-op
+    # cleanly (no exception) — both outcomes pass

@@ -22,7 +22,8 @@ logger = logging.getLogger("xsarsea_tpu")
 logger.addHandler(logging.NullHandler())
 
 __all__ = ["load_config", "get_test_file", "timing", "to_dB", "from_dB",
-           "logger", "enable_compilation_cache"]
+           "logger", "enable_compilation_cache", "trace",
+           "device_memory_stats"]
 
 _DEFAULT_CONFIG = {"data_dir": "/tmp"}
 
@@ -102,15 +103,52 @@ def get_test_file(fname, iszip=True):
     return local
 
 
+def _rss_mb():
+    """Resident set size in MB (no psutil needed)."""
+    try:
+        import resource
+
+        kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        return kb / 1024.0  # linux reports KB
+    except Exception:  # pragma: no cover - non-posix
+        return float("nan")
+
+
+def device_memory_stats():
+    """Per-device memory stats dict (bytes_in_use etc.), or {} when the
+    backend doesn't expose them (e.g. CPU)."""
+    import jax
+
+    out = {}
+    for d in jax.local_devices():
+        try:
+            stats = d.memory_stats()
+        except Exception:  # noqa: BLE001 - backend-dependent
+            stats = None
+        if stats:
+            out[str(d)] = stats
+    return out
+
+
 def timing(logger=logger.debug):
-    """Decorator logging wall time (and a device-sync) per call.
+    """Decorator logging wall time, RSS delta and device memory per call.
 
     Counterpart of the reference ``@timing`` profiler (utils.py:100-123);
-    on JAX the result is block-until-ready'd so times are honest.
+    on JAX the result is block-until-ready'd so times are honest, and the
+    device-side allocation delta is reported when the backend exposes
+    memory stats.
     """
 
     def decorator(f):
         def wrapper(*args, **kwargs):
+            def dev_mb():
+                try:
+                    return sum(s.get("bytes_in_use", 0)
+                               for s in device_memory_stats().values()) / 1e6
+                except Exception:  # noqa: BLE001
+                    return float("nan")
+
+            mem0, dev0 = _rss_mb(), dev_mb()
             start = time.perf_counter()
             result = f(*args, **kwargs)
             try:
@@ -119,7 +157,10 @@ def timing(logger=logger.debug):
                 jax.block_until_ready(result)
             except Exception:
                 pass
-            logger(f"timing {f.__name__} : {time.perf_counter() - start:.3f}s")
+            logger(
+                f"timing {f.__name__} : {time.perf_counter() - start:.3f}s. "
+                f"mem: +{max(0.0, _rss_mb() - mem0):.1f}Mb "
+                f"(device: {dev_mb() - dev0:+.1f}Mb)")
             return result
 
         wrapper.__doc__ = f.__doc__
@@ -127,6 +168,43 @@ def timing(logger=logger.debug):
         return wrapper
 
     return decorator
+
+
+class trace:
+    """Context manager around ``jax.profiler.trace`` — captures a TPU/XLA
+    trace viewable in TensorBoard/Perfetto.
+
+    >>> with trace("/tmp/jax-trace"):
+    ...     invert_from_model(...)
+
+    No-ops (with a log message) when the profiler is unavailable on the
+    backend. TPU equivalent of the reference's wall-time ``@timing``
+    instrumentation for kernel-level analysis.
+    """
+
+    def __init__(self, logdir):
+        self.logdir = str(logdir)
+        self._active = False
+
+    def __enter__(self):
+        import jax
+
+        try:
+            jax.profiler.start_trace(self.logdir)
+            self._active = True
+        except Exception:  # noqa: BLE001 - backend-dependent
+            logger.warning("jax profiler trace unavailable", exc_info=True)
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            import jax
+
+            try:
+                jax.profiler.stop_trace()
+            finally:
+                self._active = False
+        return False
 
 
 def to_dB(x, eps=1e-15):
