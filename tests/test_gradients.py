@@ -415,3 +415,31 @@ def test_plot_gradients_holoviews_interactive():
     assert dm is not None
     hp = pg.hv_histogram_plot(sample=100, line=100)
     assert hp is not None
+
+
+def test_public_convolve2d_and_gradient_histogram_parity():
+    """API-parity wrappers match scipy and the reference kernel directly."""
+    ref = load_ref_gradients()
+    img = streak_image(64, 70)
+    B2 = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], float) / 16
+
+    from xsarsea_tpu.gradients import convolve2d, gradient_histogram
+
+    got = convolve2d(img, B2, boundary="symm")
+    want = signal.convolve2d(img, B2, mode="same", boundary="symm")
+    np.testing.assert_allclose(np.asarray(got.data), want, rtol=1e-10)
+
+    bins = np.linspace(-np.pi / 2, np.pi / 2, 73)
+    bins = (bins[1:] + bins[:-1]) / 2
+    r = np.random.default_rng(0)
+    theta = r.uniform(-np.pi / 2 * 0.999, np.pi / 2 * 0.999, (10, 10))
+    g2 = r.uniform(0, 3, (10, 10)) * np.exp(1j * theta)
+    c = r.uniform(0, 1, (10, 10))
+    h, ratio = gradient_histogram(g2, c, bins)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        h_ref, ratio_ref = ref.gradient_histogram(g2, c, bins)
+    np.testing.assert_allclose(h, h_ref, rtol=1e-10, atol=1e-12)
+    assert ratio == ratio_ref

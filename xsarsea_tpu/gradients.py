@@ -51,6 +51,8 @@ __all__ = [
     "StackedGradients",
     "local_gradients",
     "streaks_histogram_core",
+    "convolve2d",
+    "gradient_histogram",
     "circ_smooth",
     "circ_hist",
     "filtering_parameters",
@@ -92,6 +94,36 @@ def R2(image):
     tmp = da.copy(data=x).coarsen_mean({"line": 2, "sample": 2})
     out = conv2d_same(tmp.data, B2_KERNEL, boundary="symm")
     return tmp.copy(data=out)
+
+
+def convolve2d(in1, in2, boundary="symm", fillvalue=0.0):
+    """scipy.signal.convolve2d(mode='same') on a DimArray/array image.
+
+    API-parity wrapper for the reference helper (gradients.py:637-672);
+    here the stencil runs as a `lax.conv` on device — no map_overlap
+    machinery needed (sharded inputs get their halo exchange from XLA
+    SPMD, see :mod:`xsarsea_tpu.parallel.gradients`).
+    """
+    da = _as_da(in1)
+    return da.copy(data=conv2d_same(da.data, np.asarray(in2),
+                                    boundary=boundary, fillvalue=fillvalue))
+
+
+def gradient_histogram(g2, c, angles_bins):
+    """Weighted direction histogram of ONE window (gradients.py:828-879).
+
+    ``g2``: complex local gradients (2-D window), ``c``: quality weights,
+    ``angles_bins``: bin centers. Returns (histogram, used_ratio) —
+    single-window wrapper over the batched kernel the pipeline uses.
+    """
+    g2 = np.asarray(g2)
+    hist, ratio = _histogram_windows(
+        jnp.asarray(np.abs(g2).reshape(1, -1)),
+        jnp.asarray(np.angle(g2).reshape(1, -1)),
+        jnp.asarray(np.asarray(c, dtype=float).reshape(1, -1)),
+        jnp.asarray(np.asarray(angles_bins, dtype=float)),
+    )
+    return np.asarray(hist[0]), float(ratio[0])
 
 
 def smoothing(image):
