@@ -96,3 +96,37 @@ def test_pallas_matches_exact_mode(seed, kwargs):
     md = ~np.isnan(np.abs(dual_e))
     sd = np.abs(np.abs(dual_e[md]) - np.abs(dual_p[md]))
     assert np.sqrt(np.mean(sd ** 2)) < 1e-3
+
+
+def test_pallas_fast_mode_close_to_exact():
+    """'pallas_fast' trades exactness for speed: at most one wspd-step
+    deviation, on a small fraction of pixels."""
+    kwargs = dict(inc_step=0.5, wspd_step=0.5, phi_step=5.0)
+    lut_co = get_model("gmf_cmod5n").to_lut(units="dB", **kwargs)
+    lut_cr = get_model("gmf_s1_v2").to_lut(units="dB", **kwargs)
+    tables = InversionTables(lut_co, lut_cr, dtype=jnp.float32)
+
+    rng = np.random.default_rng(5)
+    n = 400
+    inc = rng.uniform(17.0, 60.0, n)
+    speed = rng.uniform(1.0, 28.0, n)
+    direc = rng.uniform(-np.pi, np.pi, n)
+    s0_co_db = 10 * np.log10(
+        np.asarray(get_model("gmf_cmod5n")(inc, speed, np.abs(np.rad2deg(direc)),
+                                           broadcast=True)) + 1e-15)
+    s0_cr_db = 10 * np.log10(
+        np.asarray(get_model("gmf_s1_v2")(inc, speed, broadcast=True)) + 1e-15)
+    anc = (speed + rng.normal(0, 2, n)).clip(0.3) * np.exp(1j * direc)
+    dsig_cr = rng.uniform(0.1, 1.0, n)
+
+    co_e, dual_e = invert_pixels(tables, inc, s0_co_db, s0_cr_db, dsig_cr, anc,
+                                 mode="exact")
+    co_f, dual_f = invert_pixels(tables, inc, s0_co_db, s0_cr_db, dsig_cr, anc,
+                                 mode="pallas_fast_interpret")
+    wspd_step = 0.5
+    for got, ref in ((co_f, co_e), (dual_f, dual_e)):
+        m = ~np.isnan(np.abs(ref))
+        np.testing.assert_array_equal(np.isnan(np.abs(got)), ~m)
+        diff = np.abs(np.abs(got[m]) - np.abs(ref[m]))
+        assert diff.max() <= wspd_step + 1e-6
+        assert (diff > 1e-6).mean() < 0.05

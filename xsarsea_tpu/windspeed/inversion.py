@@ -265,11 +265,14 @@ def _invert_pixel(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
 
 
 def _postprocess_pixel(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
-                       anc_re, anc_im, wspd_co, phi_co):
+                       anc_re, anc_im, wspd_co, phi_co, wspd_dual=None):
     """Masking + crosspol + NaN guards, shared by the XLA and Pallas paths.
 
     (wspd_co, phi_co) is the raw copol solution; may be garbage when the
-    pixel has no valid copol observation — it is masked here.
+    pixel has no valid copol observation — it is masked here. When the
+    crosspol solution was already computed (the pallas path's bucketed
+    crosspol kernel), pass it as ``wspd_dual`` to skip the per-pixel
+    row-gather minimization.
     """
     nan = jnp.asarray(jnp.nan, dtype=inc.dtype)
 
@@ -284,8 +287,10 @@ def _postprocess_pixel(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr
 
     # --- crosspol / dualpol
     if tables.has_cr:
-        i_inc_cr = _nearest_index(tables.cr_inc, inc)
-        wspd_dual = _crosspol_solution(tables, i_inc_cr, s0_cr_db, dsig_cr, wspd_co)
+        if wspd_dual is None:
+            i_inc_cr = _nearest_index(tables.cr_inc, inc)
+            wspd_dual = _crosspol_solution(tables, i_inc_cr, s0_cr_db, dsig_cr,
+                                           wspd_co)
         phi_dual = jnp.where(~jnp.isnan(wspd_co), phi_co, 0.0)
         cr_valid = (~jnp.isnan(s0_cr_db)) & (~jnp.isnan(dsig_cr))
         dual_re = jnp.where(cr_valid, wspd_dual * jnp.cos(phi_dual), nan)
@@ -374,6 +379,11 @@ def _build_g4_grouped(tables: InversionTables, dsig_co,
     max_e = max(len(r) for r in rows_of) * n_ip
     gsize = ((max_e + 127) // 128) * 128
     gpt = max(1, tile_target // gsize)
+    if gpt > 1:
+        # Mosaic requires the kernel's per-tile scratch store (offset
+        # t*gpt, size gpt sublanes) to be 8-aligned; gpt == 1 lowers as a
+        # scalar row store and is exempt.
+        gpt = max(8, (gpt // 8) * 8)
     n_tiles = (n_groups + gpt - 1) // gpt
     n_groups_pad = n_tiles * gpt
 
@@ -426,21 +436,26 @@ def _build_g4_grouped(tables: InversionTables, dsig_co,
     return jnp.asarray(gk), shift, n_groups, gsize
 
 
-# coarse-grid spacing for the fast mode's first pass, in physical units:
-# ~0.2 m/s in wspd (bounds the coarse argmin's wspd drift to ~1 row) and
-# ~8 deg in phi (phi drift is irrelevant — the slab refine re-searches
-# ALL phi at the chosen wspd slab)
+# coarse-grid spacing for the default pallas mode's first pass, in
+# physical units: ~0.2 m/s in wspd (bounds the coarse argmin's wspd drift
+# to ~1 row) and ~8 deg in phi (phi drift is irrelevant — the slab refine
+# re-searches ALL phi at the chosen wspd slab)
 _COARSE_DW = 0.2
 _COARSE_DPHI = 8.0
-# fast mode uses a wider slab margin to absorb coarse-sampling drift on
-# top of the expanded-form f32 jitter (empirically: margin 16 leaves
-# ~3e-5 of pixels flipped to adjacent basins vs the full-grid pass;
-# margin 24 reproduces it exactly on 4M-pixel random-scene validation)
+# slab margin absorbing coarse-sampling drift on top of the expanded-form
+# bf16 jitter. Measured on 1M random pixels vs the full-grid pass
+# (2026-08 sweep, high-res LUTs): margin 24 @ dw 0.2 -> 0 flips (exact);
+# 16 @ 0.2 -> 9e-5 flipped to an adjacent wspd row; 8 @ dw 0.1 -> 5e-3
+# flipped, max speed deviation one wspd step (0.1 m/s), +34% throughput.
 _FAST_MARGIN = 24
+# 'pallas_fast': full-wspd coarse sampling with a slim margin — trades
+# <=1 wspd-step deviations on <1% of pixels for ~1.3x throughput
+_TURBO_DW = 0.1
+_TURBO_MARGIN = 8
 
 
 def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192,
-                           interpret=False, coarse=True):
+                           interpret=False, coarse=True, turbo=False):
     """Pallas-accelerated inversion: bucketed matmul argmin kernel +
     slab-refine kernel + shared XLA postprocess.
 
@@ -452,13 +467,16 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
     :mod:`xsarsea_tpu.ops.pallas_inversion` for both kernel designs.
     """
     from xsarsea_tpu.ops.pallas_inversion import (
+        CR_BLOCK,
         DEFAULT_BLOCK,
         SLAB_BLOCK,
         SLAB_MARGIN,
         WGROUP,
         bucket_by_band,
+        build_crosspol_arrays,
         build_direct_arrays,
         copol_group_argmin_pallas,
+        crosspol_argmin_pallas,
         nearest_index_sorted,
         nearest_index_uniform,
         slab_refine_pallas,
@@ -467,13 +485,14 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
 
     block = DEFAULT_BLOCK
     if coarse:
+        dw = _TURBO_DW if turbo else _COARSE_DW
         step_w = float(np.median(np.diff(np.asarray(tables.co_wspd, np.float64))))
         step_p = float(np.median(np.diff(np.asarray(tables.co_phi, np.float64))))
         g4_dev, lut_shift, n_groups_g4, gsize = _build_g4_grouped(
             tables, float(dsig_co_val),
-            stride_w=max(1, round(_COARSE_DW / step_w)),
+            stride_w=max(1, round(dw / step_w)),
             stride_p=max(1, round(_COARSE_DPHI / step_p)), splits=2)
-        margin = _FAST_MARGIN
+        margin = _TURBO_MARGIN if turbo else _FAST_MARGIN
     else:
         g4_dev, lut_shift, n_groups_g4, gsize = _build_g4_grouped(
             tables, float(dsig_co_val), splits=3)
@@ -494,17 +513,33 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
 
     # incidence nearest-index: arithmetic path for uniform grids (the
     # common case), gathering binary search otherwise (non-uniform NcLuts)
-    inc_np = np.asarray(tables.co_inc, dtype=np.float64)
-    inc_steps = np.diff(inc_np)
-    if inc_steps.size and np.allclose(inc_steps, inc_steps[0], rtol=1e-6, atol=0):
-        nearest_inc = _partial(nearest_index_uniform, inc_np[0],
-                               (inc_np[-1] - inc_np[0]) / (len(inc_np) - 1),
-                               len(inc_np))
-    else:
-        def nearest_inc(values, _grid=jnp.asarray(tables.co_inc)):
-            return nearest_index_sorted(_grid, values)
+    def _make_nearest(grid_np):
+        grid_np = np.asarray(grid_np, dtype=np.float64)
+        steps = np.diff(grid_np)
+        if steps.size and np.allclose(steps, steps[0], rtol=1e-6, atol=0):
+            return _partial(nearest_index_uniform, grid_np[0],
+                            (grid_np[-1] - grid_np[0]) / (len(grid_np) - 1),
+                            len(grid_np))
+        grid_dev = jnp.asarray(grid_np, dtype=jnp.float32)
+        return lambda values: nearest_index_sorted(grid_dev, values)
 
-    def invert_flat(tables, g4, lut_pad, u_pad, v_pad,
+    nearest_inc = _make_nearest(tables.co_inc)
+
+    # crosspol: bucketed 1-D argmin kernel operands
+    if tables.has_cr:
+        cr_pad_np, cr_whalf_np = build_crosspol_arrays(
+            np.asarray(tables.cr_lut, np.float32),
+            np.asarray(tables.cr_wspd, np.float32))
+        cr_pad, cr_whalf = jnp.asarray(cr_pad_np), jnp.asarray(cr_whalf_np)
+        n_cr_inc = cr_pad_np.shape[0]
+        n_cr_wspd = np.asarray(tables.cr_wspd).shape[0]
+        nearest_cr = _make_nearest(tables.cr_inc)
+    else:
+        # dummies keep the jit signature stable; never read when !has_cr
+        cr_pad = jnp.zeros((1, 1, 128), jnp.float32)
+        cr_whalf = jnp.zeros((1, 128), jnp.float32)
+
+    def invert_flat(tables, g4, lut_pad, u_pad, v_pad, cr_pad, cr_whalf,
                     inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im, dsig_co):
         n = inc.shape[0]
         f32 = jnp.float32
@@ -570,28 +605,64 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         ].set(flat_r, mode="drop")
         flat = jnp.clip(flat, 0, n_wspd * n_phi - 1)
         iw, ip = flat // n_phi, flat % n_phi
+        wspd_co_raw = tables.co_wspd[iw]
 
-        # --- postprocess (phi disambiguation, crosspol, NaN guards), chunked
-        def one_pixel(inc_p, s0_p, s0cr_p, dsigcr_p, are_p, aim_p, iw_p, ip_p):
-            wspd_co = tables.co_wspd[iw_p]
-            phi_co = _disambiguate_phi(tables, tables.co_phir[ip_p], are_p, aim_p)
+        # --- stage 3: bucket by crosspol incidence band, 1-D wspd argmin
+        # (a whole block shares one VMEM LUT row — replaces the per-pixel
+        # row gather + argmin that dominated the XLA postprocess)
+        if tables.has_cr:
+            co_valid = ~jnp.isnan(s0_co_db)
+            wspd_co_m = jnp.where(co_valid, wspd_co_raw.astype(f32), jnp.nan)
+            has_co_f = (~jnp.isnan(wspd_co_m)).astype(f32)
+            i_cr = nearest_cr(inc)
+            perm3, band3 = bucket_by_band(i_cr, n_bands=n_cr_inc,
+                                          block=CR_BLOCK)
+            valid3 = perm3 >= 0
+            pidx3 = jnp.clip(perm3, 0)
+            pix3 = jnp.stack(
+                [
+                    s0_cr_db.astype(f32),
+                    dsig_cr.astype(f32),
+                    jnp.where(has_co_f > 0, wspd_co_m, 0.0) * 0.5,
+                    has_co_f,
+                ],
+                axis=1,
+            )
+            feats3 = jnp.where(valid3[:, None], pix3[pidx3], jnp.nan)
+            iwcr_r = crosspol_argmin_pallas(
+                cr_pad, cr_whalf, feats3, band3, block=CR_BLOCK,
+                interpret=interpret).reshape(-1)
+            iwcr = jnp.zeros((n,), jnp.int32).at[
+                jnp.where(valid3, perm3, n)
+            ].set(iwcr_r, mode="drop")
+            iwcr = jnp.clip(iwcr, 0, n_cr_wspd - 1)
+            wspd_dual = tables.cr_wspd[iwcr]
+        else:
+            wspd_dual = None
+
+        # --- postprocess (phi disambiguation, masking, NaN guards):
+        # everything left is elementwise + tiny gathers, one vmap pass
+        def one_pixel(inc_p, s0_p, s0cr_p, dsigcr_p, are_p, aim_p,
+                      wco_p, phir_p, wdual_p):
+            phi_co = _disambiguate_phi(tables, phir_p, are_p, aim_p)
             return _postprocess_pixel(tables, inc_p, s0_p, s0cr_p, dsigcr_p,
-                                      are_p, aim_p, wspd_co, phi_co)
+                                      are_p, aim_p, wco_p, phi_co,
+                                      wspd_dual=wdual_p)
 
-        pad = (-n) % chunk_size
-        farrs = [jnp.pad(a, (0, pad), constant_values=np.nan)
-                 for a in (inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im)]
-        iarrs = [jnp.pad(a, (0, pad)) for a in (iw, ip)]
-        arrs = [a.reshape(-1, chunk_size) for a in farrs + iarrs]
-        post = jax.vmap(one_pixel)
-        out = lax.map(lambda xs: post(*xs), tuple(arrs))
-        return tuple(o.reshape(-1)[:n] for o in out)
+        phir_raw = tables.co_phir[ip]
+        # !has_cr: _postprocess_pixel never reads wspd_dual — nan filler
+        wdual_arg = (wspd_dual if wspd_dual is not None
+                     else jnp.full((n,), jnp.nan, dtype=inc.dtype))
+        return jax.vmap(one_pixel)(
+            inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im,
+            wspd_co_raw, phir_raw, wdual_arg)
 
     jitted = jax.jit(invert_flat)
     tables_slim = tables.to_device_slim()
 
     def run(*args):
-        return jitted(tables_slim, g4_dev, lut_pad, u_pad, v_pad, *args)
+        return jitted(tables_slim, g4_dev, lut_pad, u_pad, v_pad,
+                      cr_pad, cr_whalf, *args)
 
     return run
 
@@ -603,8 +674,8 @@ def _get_invert_fn(tables, chunk_size, mode="exact", dsig_co=0.1):
     # garbage-collected id).
     cache = tables.__dict__.setdefault("_invert_fn_cache", {})
     if mode.startswith("pallas"):
-        # the pallas postprocess only does small per-pixel gathers, so it
-        # wants much larger chunks than the exact full-grid path
+        # the pallas path is unchunked (its postprocess is elementwise);
+        # normalize the key so chunk_size never splits its cache
         chunk_size = max(chunk_size, 8192)
     key = (chunk_size, mode,
            float(dsig_co) if mode.startswith("pallas") else None)
@@ -616,6 +687,7 @@ def _get_invert_fn(tables, chunk_size, mode="exact", dsig_co=0.1):
                 tables, dsig_co, chunk_size,
                 interpret=mode.endswith("_interpret"),
                 coarse="exact" not in mode,
+                turbo="fast" in mode,
             )
         else:
             raise ValueError(f"unknown inversion mode '{mode}'")
@@ -634,11 +706,13 @@ def invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
     device->host copy for pipelines that keep working on device).
 
     mode: 'exact' (portable full-grid argmin), 'pallas' (fused TPU
-    kernels: coarse expanded-form pass + direct-form slab refine),
-    'pallas_exact' (full-grid expanded-form pass + slab refine),
-    '*_interpret' variants (kernels in interpreter mode, for CPU
-    testing), or 'auto' (pallas on TPU when a copol table is present,
-    exact elsewhere).
+    kernels: coarse expanded-form pass + direct-form slab refine +
+    bucketed crosspol argmin; matches the full grid exactly),
+    'pallas_fast' (slimmer coarse pass: ~1.3x faster, deviates by at
+    most one wspd step on <1% of pixels), 'pallas_exact' (full-grid
+    expanded-form pass + slab refine), '*_interpret' variants (kernels
+    in interpreter mode, for CPU testing), or 'auto' (pallas on TPU when
+    a copol table is present, exact elsewhere).
     """
     if mode == "auto":
         mode = (
