@@ -130,3 +130,44 @@ def test_pallas_fast_mode_close_to_exact():
         diff = np.abs(np.abs(got[m]) - np.abs(ref[m]))
         assert diff.max() <= wspd_step + 1e-6
         assert (diff > 1e-6).mean() < 0.05
+
+
+def test_pallas_nonuniform_incidence_grid():
+    """NcLut-style non-uniform incidence axes route through the sorted
+    nearest-index path; kernels must still match the exact mode."""
+    kwargs = dict(inc_step=0.5, wspd_step=0.5, phi_step=5.0)
+    lut_co = get_model("gmf_cmod5n").to_lut(units="dB", **kwargs)
+    lut_cr = get_model("gmf_s1_v2").to_lut(units="dB", **kwargs)
+
+    def warp_inc(lut):
+        # monotone non-uniform warp of the incidence coordinate
+        inc = np.asarray(lut.coords["incidence"], np.float64)
+        t = (inc - inc[0]) / (inc[-1] - inc[0])
+        warped = inc[0] + (inc[-1] - inc[0]) * (t + 0.15 * t * (1 - t))
+        coords = dict(lut.coords)
+        coords["incidence"] = warped
+        from xsarsea_tpu.dimarray import DimArray
+
+        return DimArray(lut.data, dims=lut.dims, coords=coords,
+                        attrs=lut.attrs)
+
+    tables = InversionTables(warp_inc(lut_co), warp_inc(lut_cr),
+                             dtype=jnp.float32)
+
+    rng = np.random.default_rng(9)
+    n = 300
+    inc = rng.uniform(17.0, 60.0, n)
+    s0_co_db = rng.uniform(-30.0, 0.0, n)
+    s0_cr_db = rng.uniform(-40.0, -20.0, n)
+    anc = rng.uniform(1, 25, n) * np.exp(1j * rng.uniform(-np.pi, np.pi, n))
+    dsig_cr = rng.uniform(0.1, 1.0, n)
+    inc[0] = np.nan
+
+    co_e, dual_e = invert_pixels(tables, inc, s0_co_db, s0_cr_db, dsig_cr, anc,
+                                 mode="exact")
+    co_p, dual_p = invert_pixels(tables, inc, s0_co_db, s0_cr_db, dsig_cr, anc,
+                                 mode="pallas_interpret")
+    for got, ref in ((co_p, co_e), (dual_p, dual_e)):
+        m = ~np.isnan(np.abs(ref))
+        np.testing.assert_array_equal(np.isnan(np.abs(got)), ~m)
+        np.testing.assert_array_equal(got[m], ref[m])

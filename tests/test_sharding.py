@@ -148,3 +148,34 @@ def test_sharded_streaks_histogram_matches_single_device():
     w_sh, r_sh = sharded_streaks_histogram(img, cl, cs, win, bins, mesh)
     np.testing.assert_allclose(w_sh, ref_w, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(r_sh, ref_r, rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_pallas_inversion_matches_single_device(tables):
+    """Data-parallel fused-kernel path over the mesh == single-device
+    pallas (and the exact path) — pure SPMD, no collectives."""
+    inc, s0_co_db, s0_cr_db, dsig_cr, anc = make_pixels(900, seed=3)
+    # f32 tables for the kernel path
+    kwargs = dict(inc_step=0.5, wspd_step=0.5, phi_step=5.0)
+    t32 = prepare_tables("gmf_cmod5n", "gmf_s1_v2", dtype=jnp.float32,
+                         **kwargs)
+    mesh = make_mesh(n_data=8, n_model=1)
+
+    co_ref, dual_ref = invert_pixels(t32, inc, s0_co_db, s0_cr_db, dsig_cr,
+                                     anc, mode="pallas_interpret")
+    co_sh, dual_sh = sharded_invert_pixels(
+        t32, inc, s0_co_db, s0_cr_db, dsig_cr, anc, mesh=mesh,
+        mode="pallas_interpret")
+
+    for got, ref in ((co_sh, co_ref), (dual_sh, dual_ref)):
+        nan_g, nan_r = np.isnan(np.abs(got)), np.isnan(np.abs(ref))
+        np.testing.assert_array_equal(nan_g, nan_r)
+        m = ~nan_r
+        np.testing.assert_array_equal(got[m], ref[m])
+
+
+def test_sharded_pallas_requires_data_only_mesh(tables):
+    inc, s0_co_db, s0_cr_db, dsig_cr, anc = make_pixels(64)
+    mesh = make_mesh(n_data=4, n_model=2)
+    with pytest.raises(ValueError, match="model=1"):
+        sharded_invert_pixels(tables, inc, s0_co_db, s0_cr_db, dsig_cr, anc,
+                              mesh=mesh, mode="pallas_interpret")

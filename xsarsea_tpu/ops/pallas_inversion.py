@@ -474,7 +474,8 @@ def _slab_kernel(sband_ref, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
     m, a = lax.fori_loop(0, n_rows, body, (
         jnp.full((block, pp), jnp.inf, dtype=jnp.float32),
         jnp.full((block, pp), _BIG_IDX // n_phi_true, dtype=jnp.int32),
-    ))
+    ))  # note: full unroll (the only option Mosaic offers besides 1)
+    # keeps all row slices live and overflows scoped VMEM — keep rolled
     lane = lax.broadcasted_iota(jnp.int32, (block, pp), 1)
     flat = a * n_phi_true + lane  # row-major flat index, BIG for no-hit
     gmin = jnp.min(m, axis=1, keepdims=True)  # (block, 1)

@@ -64,6 +64,43 @@ def pad_tables_for_model_axis(tables: InversionTables, n_model: int):
     return out, P_
 
 
+def _sharded_invert_pixels_pallas(tables, inc, s0_co_db, s0_cr_db, dsig_cr,
+                                  ancillary_wind, mesh, dsig_co=0.1,
+                                  mode="pallas"):
+    """Data-parallel fused-kernel inversion over the mesh's 'data' axis."""
+    from xsarsea_tpu.windspeed.inversion import _make_pallas_invert_fn
+
+    cache = tables.__dict__.setdefault("_invert_fn_cache", {})
+    key = ("sharded", mode, float(dsig_co), id(mesh))
+    if key not in cache:
+        cache[key] = _make_pallas_invert_fn(
+            tables, dsig_co,
+            interpret=mode.endswith("_interpret"),
+            coarse="exact" not in mode,
+            turbo="fast" in mode,
+            mesh=mesh,
+        )
+    fn = cache[key]
+
+    n_data = mesh.shape["data"]
+    n = np.shape(inc)[0]
+    pad = (-n) % n_data
+    dtype = tables.dtype
+    anc = np.asarray(ancillary_wind)
+    arrs = [
+        jnp.asarray(np.pad(np.asarray(a, dtype=np.float64), (0, pad),
+                           constant_values=np.nan), dtype=dtype)
+        for a in (inc, s0_co_db, s0_cr_db, dsig_cr, anc.real, anc.imag)
+    ]
+    co_re, co_im, du_re, du_im = fn(*arrs, jnp.asarray(dsig_co, dtype))
+    ctype = np.complex128 if dtype == jnp.float64 else np.complex64
+    wind_co = (np.asarray(co_re, np.float64)
+               + 1j * np.asarray(co_im, np.float64))[:n].astype(ctype)
+    wind_dual = (np.asarray(du_re, np.float64)
+                 + 1j * np.asarray(du_im, np.float64))[:n].astype(ctype)
+    return wind_co, wind_dual
+
+
 def _local_copol_candidate(tables_shard, phi_offset, n_phi_local,
                            i_inc, s0_co_db, ma, mz, dsig_co):
     """Per-pixel (min cost, global flat argmin) over this device's phi slab."""
@@ -83,16 +120,29 @@ def _local_copol_candidate(tables_shard, phi_offset, n_phi_local,
 
 def sharded_invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db,
                           dsig_cr, ancillary_wind, mesh, dsig_co=0.1,
-                          chunk_size=256):
+                          chunk_size=256, mode="exact"):
     """Dual-pol inversion of flat pixel arrays sharded over `mesh`.
 
     Pixel arrays are sharded over the 'data' axis; the copol LUT is sharded
     along phi over the 'model' axis (u/v/phi grids likewise); everything
     else is replicated. Returns complex (wind_co, wind_dual) numpy arrays
     like :func:`~xsarsea_tpu.windspeed.inversion.invert_pixels`.
+
+    ``mode='pallas'`` (and variants) selects the fused-kernel pipeline per
+    device — pure data parallelism with LUT operands replicated and zero
+    collectives; it requires a 1-wide 'model' axis (the kernels own their
+    grid blocking internally).
     """
     n_data = mesh.shape["data"]
     n_model = mesh.shape["model"]
+
+    if mode.startswith("pallas"):
+        if n_model != 1:
+            raise ValueError(
+                "mode='pallas' shards data only; use a mesh with model=1")
+        return _sharded_invert_pixels_pallas(
+            tables, inc, s0_co_db, s0_cr_db, dsig_cr, ancillary_wind,
+            mesh, dsig_co=dsig_co, mode=mode)
     tables, n_phi_true = pad_tables_for_model_axis(tables, n_model)
     n_phi_pad = np.asarray(tables.co_phi).shape[0] if tables.has_co else 0
     n_phi_local = n_phi_pad // n_model if tables.has_co else 0

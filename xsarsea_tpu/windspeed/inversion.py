@@ -455,7 +455,8 @@ _TURBO_MARGIN = 8
 
 
 def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192,
-                           interpret=False, coarse=True, turbo=False):
+                           interpret=False, coarse=True, turbo=False,
+                           mesh=None, data_axis="data"):
     """Pallas-accelerated inversion: bucketed matmul argmin kernel +
     slab-refine kernel + shared XLA postprocess.
 
@@ -657,7 +658,23 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
             inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im,
             wspd_co_raw, phir_raw, wdual_arg)
 
-    jitted = jax.jit(invert_flat)
+    if mesh is None:
+        jitted = jax.jit(invert_flat)
+    else:
+        # data-parallel over the mesh: pixels sharded, LUT operands
+        # replicated — each device runs the full fused pipeline on its
+        # shard with zero collectives (the reference's dask apply_gufunc
+        # boundary, windspeed.py:356-364, as SPMD)
+        from jax.sharding import PartitionSpec as _P
+
+        jitted = jax.jit(jax.shard_map(
+            invert_flat,
+            mesh=mesh,
+            in_specs=(_P(),) * 7 + (_P(data_axis),) * 6 + (_P(),),
+            out_specs=(_P(data_axis),) * 4,
+            # pallas_call outputs don't carry vma annotations
+            check_vma=False,
+        ))
     tables_slim = tables.to_device_slim()
 
     def run(*args):
