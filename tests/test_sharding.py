@@ -179,3 +179,30 @@ def test_sharded_pallas_requires_data_only_mesh(tables):
     with pytest.raises(ValueError, match="model=1"):
         sharded_invert_pixels(tables, inc, s0_co_db, s0_cr_db, dsig_cr, anc,
                               mesh=mesh, mode="pallas_interpret")
+
+
+def test_invert_scenes_pallas_mode():
+    """Multi-scene batch through the fused-kernel data-parallel path."""
+    from xsarsea_tpu.parallel import invert_scenes
+
+    kwargs = dict(inc_step=0.5, wspd_step=0.5, phi_step=5.0)
+    t32 = prepare_tables("gmf_cmod5n", "gmf_s1_v2", dtype=jnp.float32,
+                         **kwargs)
+    mesh = make_mesh(n_data=8, n_model=1)
+    scenes = []
+    for seed, (h, w) in enumerate([(12, 20), (10, 16)]):
+        inc, s0_co, s0_cr, dsig_cr, anc = make_pixels(h * w, seed=seed)
+        scenes.append(dict(
+            inc=inc.reshape(h, w), sigma0_co_db=s0_co.reshape(h, w),
+            sigma0_cr_db=s0_cr.reshape(h, w), dsig_cr=dsig_cr.reshape(h, w),
+            ancillary_wind=anc.reshape(h, w)))
+
+    outs = invert_scenes(t32, scenes, mesh, mode="pallas_interpret")
+    for scene, (co, dual) in zip(scenes, outs):
+        co_ref, dual_ref = invert_pixels(
+            t32, scene["inc"].reshape(-1), scene["sigma0_co_db"].reshape(-1),
+            scene["sigma0_cr_db"].reshape(-1), scene["dsig_cr"].reshape(-1),
+            scene["ancillary_wind"].reshape(-1), mode="pallas_interpret")
+        m = ~np.isnan(np.abs(co_ref))
+        np.testing.assert_array_equal(co.reshape(-1)[m], co_ref[m])
+        np.testing.assert_array_equal(dual.reshape(-1)[m], dual_ref[m])

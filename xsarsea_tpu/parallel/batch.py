@@ -17,7 +17,8 @@ from xsarsea_tpu.parallel.inversion import sharded_invert_pixels
 __all__ = ["invert_scenes"]
 
 
-def invert_scenes(tables, scenes, mesh, dsig_co=0.1, chunk_size=256):
+def invert_scenes(tables, scenes, mesh, dsig_co=0.1, chunk_size=256,
+                  mode="exact"):
     """Invert a batch of dual-pol scenes sharded over `mesh`.
 
     Parameters
@@ -27,6 +28,8 @@ def invert_scenes(tables, scenes, mesh, dsig_co=0.1, chunk_size=256):
         ``sigma0_cr_db``, ``dsig_cr``, ``ancillary_wind`` — 2-D arrays of
         per-scene shape (shapes may differ between scenes).
     mesh : jax.sharding.Mesh with ('data', 'model') axes.
+    mode : 'exact' (portable), or 'pallas*' for the per-device
+        fused-kernel pipeline (requires a 1-wide 'model' axis).
 
     Returns a list of ``(wind_co, wind_dual)`` complex arrays, one pair
     per scene, reshaped to each scene's shape.
@@ -51,7 +54,7 @@ def invert_scenes(tables, scenes, mesh, dsig_co=0.1, chunk_size=256):
 
     co, dual = sharded_invert_pixels(
         tables, inc, s0_co, s0_cr, dsig_cr, anc, mesh=mesh,
-        dsig_co=dsig_co, chunk_size=chunk_size)
+        dsig_co=dsig_co, chunk_size=chunk_size, mode=mode)
 
     out = []
     off = 0
