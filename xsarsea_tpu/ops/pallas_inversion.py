@@ -448,7 +448,9 @@ def _slab_kernel(sband_ref, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
     rule over (wspd-major, phi-minor) order.
     """
     b = pl.program_id(0)
-    r0 = srow0_ref[b]
+    # srow0 is always 8-aligned: WGROUP and the margins are multiples of 8
+    # and both clip bounds are too (build_direct_arrays pads Wp to 8)
+    r0 = pl.multiple_of(srow0_ref[b], 8)
 
     # pixel features, lane vectors -> columns broadcast over phi lanes.
     # feats rows: (s0, ma/2, mz/2, 1/dsig) — u/v operands are pre-halved
@@ -462,20 +464,29 @@ def _slab_kernel(sband_ref, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
     mz2 = col(2)
     inv_dsig = col(3)
 
-    def body(r, carry):
+    # rows in blocks of 8: one aligned (8, pp) VMEM slice per operand per
+    # block, rows then peeled in-register (3 dynamic slices per 8 rows
+    # instead of per row); full unroll of the whole slab would keep all
+    # 64 rows' slices live and overflow scoped VMEM.
+    def body(k, carry):
         m, a = carry
-        lr = lut_ref[0, pl.ds(r0 + r, 1), :]  # (1, pp)
-        ur = u_ref[pl.ds(r0 + r, 1), :]
-        vr = v_ref[pl.ds(r0 + r, 1), :]
-        j = ((lr - s0) * inv_dsig) ** 2 + (ur - ma2) ** 2 + (vr - mz2) ** 2
-        better = j < m  # strict: keeps the first (lowest-row) min per lane
-        return jnp.minimum(m, j), jnp.where(better, r0 + r, a)
+        lr8 = lut_ref[0, pl.ds(r0 + k * 8, 8), :]  # (8, pp)
+        ur8 = u_ref[pl.ds(r0 + k * 8, 8), :]
+        vr8 = v_ref[pl.ds(r0 + k * 8, 8), :]
+        for i in range(8):
+            lr = lax.slice_in_dim(lr8, i, i + 1, axis=0)  # (1, pp)
+            ur = lax.slice_in_dim(ur8, i, i + 1, axis=0)
+            vr = lax.slice_in_dim(vr8, i, i + 1, axis=0)
+            j = ((lr - s0) * inv_dsig) ** 2 + (ur - ma2) ** 2 + (vr - mz2) ** 2
+            better = j < m  # strict: keeps the first (lowest-row) min
+            m = jnp.minimum(m, j)
+            a = jnp.where(better, r0 + k * 8 + i, a)
+        return m, a
 
-    m, a = lax.fori_loop(0, n_rows, body, (
+    m, a = lax.fori_loop(0, n_rows // 8, body, (
         jnp.full((block, pp), jnp.inf, dtype=jnp.float32),
         jnp.full((block, pp), _BIG_IDX // n_phi_true, dtype=jnp.int32),
-    ))  # note: full unroll (the only option Mosaic offers besides 1)
-    # keeps all row slices live and overflows scoped VMEM — keep rolled
+    ))
     lane = lax.broadcasted_iota(jnp.int32, (block, pp), 1)
     flat = a * n_phi_true + lane  # row-major flat index, BIG for no-hit
     gmin = jnp.min(m, axis=1, keepdims=True)  # (block, 1)
