@@ -437,8 +437,8 @@ def crosspol_argmin_pallas(lut_pad, w_half, feats, band_of_block,
     )(band_of_block, feats, lut_pad, w_half).reshape(n_blocks, block)
 
 
-def _slab_kernel(sband_ref, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
-                 out_ref, *, block, pp, n_phi_true, n_rows):
+def _slab_kernel(sband_ref, srow0_ref, vmask_ref, feats_ref, lut_ref, u_ref,
+                 v_ref, out_ref, *, block, pp, n_phi_true, n_rows):
     """Per block: direct-form cost over a (n_rows, Pp) LUT slab.
 
     Single sweep over rows keeps, per (pixel, phi-lane), the running min
@@ -448,6 +448,20 @@ def _slab_kernel(sband_ref, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
     rule over (wspd-major, phi-minor) order.
     """
     b = pl.program_id(0)
+
+    # bucketing by (band, wspd-group) pads every bucket to a whole block,
+    # leaving ~10-20% all-padding blocks at realistic band counts; their
+    # outputs are dropped by the caller's scatter, so skip their compute
+    # entirely (out_ref keeps whatever the buffer holds — never read)
+    @pl.when(vmask_ref[b] > 0)
+    def _run():
+        _slab_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
+                    out_ref, block=block, pp=pp, n_phi_true=n_phi_true,
+                    n_rows=n_rows)
+
+
+def _slab_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
+                out_ref, *, block, pp, n_phi_true, n_rows):
     # srow0 is always 8-aligned: WGROUP and the margins are multiples of 8
     # and both clip bounds are too (build_direct_arrays pads Wp to 8)
     r0 = pl.multiple_of(srow0_ref[b], 8)
@@ -496,7 +510,7 @@ def _slab_kernel(sband_ref, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
 
 def slab_refine_pallas(lut_pad, u_pad, v_pad, feats, sband, srow0,
                        n_phi_true, block=SLAB_BLOCK, n_rows=SLAB_ROWS,
-                       interpret=False):
+                       interpret=False, valid_mask=None):
     """Direct-form argmin over per-block LUT slabs.
 
     Parameters
@@ -506,7 +520,10 @@ def slab_refine_pallas(lut_pad, u_pad, v_pad, feats, sband, srow0,
     feats : (n_blocks*block, 4) f32 — per-pixel (s0_db, ma, mz_eff, dsig_co);
         NaN rows mark padding slots (their output is discarded).
     sband, srow0 : (n_blocks,) i32 — LUT incidence slice and slab start row
-        per block (srow0 need not be aligned; rows are loaded dynamically).
+        per block (srow0 must be 8-aligned; rows are loaded dynamically).
+    valid_mask : optional (n_blocks,) i32 — 0 marks all-padding blocks
+        whose compute is skipped entirely (their output is undefined and
+        must be discarded by the caller).
 
     Returns (n_blocks, block) i32 flat indices into the true (W, P) grid
     (``_BIG_IDX`` for all-NaN pixels — clip before using as an index).
@@ -514,21 +531,24 @@ def slab_refine_pallas(lut_pad, u_pad, v_pad, feats, sband, srow0,
     n_blocks = sband.shape[0]
     pp = lut_pad.shape[2]
     feats = feats.reshape(n_blocks, block, 4).transpose(0, 2, 1)
+    if valid_mask is None:
+        valid_mask = jnp.ones((n_blocks,), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, 4, block), lambda b, sb, sr: (b, 0, 0),
+            pl.BlockSpec((1, 4, block), lambda b, sb, sr, vm: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lut_pad.shape[1], pp), lambda b, sb, sr: (sb[b], 0, 0),
+            pl.BlockSpec((1, lut_pad.shape[1], pp),
+                         lambda b, sb, sr, vm: (sb[b], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((u_pad.shape[0], pp), lambda b, sb, sr: (0, 0),
+            pl.BlockSpec((u_pad.shape[0], pp), lambda b, sb, sr, vm: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((v_pad.shape[0], pp), lambda b, sb, sr: (0, 0),
+            pl.BlockSpec((v_pad.shape[0], pp), lambda b, sb, sr, vm: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, block), lambda b, sb, sr: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, block), lambda b, sb, sr, vm: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
@@ -539,6 +559,7 @@ def slab_refine_pallas(lut_pad, u_pad, v_pad, feats, sband, srow0,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, 1, block), jnp.int32),
         interpret=interpret,
-    )(sband, srow0, feats, lut_pad, u_pad, v_pad).reshape(n_blocks, block)
+    )(sband, srow0, valid_mask, feats, lut_pad, u_pad, v_pad
+      ).reshape(n_blocks, block)
 
 

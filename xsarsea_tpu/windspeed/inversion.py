@@ -596,9 +596,12 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         srow0 = jnp.clip((key_of_block % n_wgroups) * WGROUP - margin,
                          0, wp_rows - slab_rows)
 
+        # skip all-padding blocks (their scattered outputs are dropped)
+        vmask2 = (perm2.reshape(-1, SLAB_BLOCK) >= 0).any(axis=1)
         flat_r = slab_refine_pallas(
             lut_pad, u_pad, v_pad, feats2, sband, srow0, n_phi,
             block=SLAB_BLOCK, n_rows=slab_rows, interpret=interpret,
+            valid_mask=vmask2.astype(jnp.int32),
         ).reshape(-1)
 
         flat = jnp.zeros((n,), jnp.int32).at[
