@@ -332,47 +332,56 @@ def _oracle_full_histogram(img, line, sample, window_size, windows_at, bins,
 
 def test_gradients_full_pipeline_parity():
     """Assembled multiscale Gradients.histogram vs the reference stages
-    composed end-to-end, including windows_at alignment across scales
-    (reference gradients.py:89-125, 151-205, 208-245, 248-334)."""
+    composed end-to-end — every (pol, factor, size) combo, including
+    windows_at alignment across scales (reference gradients.py:89-125,
+    151-205, 208-245, 248-334)."""
     ref = load_ref_gradients()
-    img = streak_image(480, 448, angle_deg=25.0)
+    img_vv = streak_image(480, 448, angle_deg=25.0)
+    img_vh = streak_image(480, 448, angle_deg=25.0, seed=4) * 0.2
     line = np.arange(480, dtype=float)
     sample = np.arange(448, dtype=float)
-    da = DimArray(img, dims=("line", "sample"),
-                  coords={"line": line, "sample": sample})
+    da = DimArray(np.stack([img_vv, img_vh]), dims=("pol", "line", "sample"),
+                  coords={"pol": np.array(["VV", "VH"]),
+                          "line": line, "sample": sample})
 
     sizes = [96, 160]
     factors = [1, 2]
     g = Gradients(da, windows_sizes=sizes, downscales_factors=factors,
                   window_step=1)
-    got = g.histogram["weight"]  # (downscale_factor, window_size, l, s, ang)
+    got = g.histogram["weight"]  # (pol, downscale_factor, window_size, ...)
     got_r = g.histogram["used_ratio"]
+    assert got.dims[:3] == ("pol", "downscale_factor", "window_size")
 
     bins = np.linspace(-np.pi / 2, np.pi / 2, 73)
     bins = (bins[1:] + bins[:-1]) / 2
 
-    # windows_at from the FIRST combo (factor 1, first size), step = win px
+    # windows_at from the FIRST combo (pol 0, factor 1, first size)
     step = int(sizes[0] * 1)
     windows_at = {"line": line[::step], "sample": sample[::step]}
 
-    for fi, f in enumerate(factors):
-        if f == 1:
-            img_f, line_f, sample_f = img, line, sample
-        else:
-            img_f = cv2.resize(img, (448 // f, 480 // f),
-                               interpolation=cv2.INTER_AREA)
-            line_f = line[: (480 // f) * f].reshape(-1, f).mean(axis=1)
-            sample_f = sample[: (448 // f) * f].reshape(-1, f).mean(axis=1)
-        for si, ws in enumerate(sizes):
-            w_exp, r_exp = _oracle_full_histogram(
-                img_f, line_f, sample_f, ws, windows_at, bins,
-                ref.gradient_histogram)
-            np.testing.assert_allclose(
-                np.asarray(got.data)[fi, si], w_exp, rtol=1e-7, atol=1e-10,
-                err_msg=f"weight mismatch at factor={f} window={ws}")
-            np.testing.assert_allclose(
-                np.asarray(got_r.data)[fi, si], r_exp, rtol=1e-7, atol=1e-12,
-                err_msg=f"used_ratio mismatch at factor={f} window={ws}")
+    for pi, img in enumerate((img_vv, img_vh)):
+        for fi, f in enumerate(factors):
+            if f == 1:
+                img_f, line_f, sample_f = img, line, sample
+            else:
+                img_f = cv2.resize(img, (448 // f, 480 // f),
+                                   interpolation=cv2.INTER_AREA)
+                line_f = line[: (480 // f) * f].reshape(-1, f).mean(axis=1)
+                sample_f = sample[: (448 // f) * f].reshape(-1, f).mean(axis=1)
+            for si, ws in enumerate(sizes):
+                w_exp, r_exp = _oracle_full_histogram(
+                    img_f, line_f, sample_f, ws, windows_at, bins,
+                    ref.gradient_histogram)
+                np.testing.assert_allclose(
+                    np.asarray(got.data)[pi, fi, si], w_exp,
+                    rtol=1e-7, atol=1e-10,
+                    err_msg=f"weight mismatch at pol={pi} factor={f} "
+                            f"window={ws}")
+                np.testing.assert_allclose(
+                    np.asarray(got_r.data)[pi, fi, si], r_exp,
+                    rtol=1e-7, atol=1e-12,
+                    err_msg=f"used_ratio mismatch at pol={pi} factor={f} "
+                            f"window={ws}")
 
 
 def test_plot_gradients_hv_helpers():
