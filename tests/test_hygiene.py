@@ -223,3 +223,17 @@ def test_trace_context(tmp_path):
     # a trace run produces a plugins/profile dir when the profiler works;
     # on backends without profiler support the context must still no-op
     # cleanly (no exception) — both outcomes pass
+
+
+def test_to_lut_cached_buffer_is_frozen():
+    """In-place mutation of a returned LUT raises instead of silently
+    corrupting the cache (the payload is shared zero-copy)."""
+    m = get_model("gmf_cmod5n")
+    lut = m.to_lut(units="dB")
+    data = np.asarray(lut.data)
+    if isinstance(lut.data, np.ndarray):
+        with pytest.raises(ValueError):
+            data[0, 0, 0] = 999.0
+    # either way the cache stays clean
+    lut2 = m.to_lut(units="dB")
+    assert not np.any(np.asarray(lut2.data) == 999.0)

@@ -130,3 +130,15 @@ def test_gradients_dataarray_in_dataset_out():
     np.testing.assert_allclose(
         np.asarray(g_native.histogram["weight"].data),
         np.asarray(h2["weight"].values))
+
+
+def test_aux_coords_restored_from_template():
+    """2-D auxiliary coords (lat/lon rasters) dropped by the DimArray
+    round trip are re-attached to outputs from the input template."""
+    inc, s0_co, _, _, _ = _scene(16, 20)
+    lat = np.linspace(40.0, 41.0, 16)[:, None].repeat(20, 1)
+    da = _da(np.abs(s0_co), name="sigma0")
+    da.coords["lat"] = lat
+    out = sigma0_detrend(da, _da(inc))
+    assert "lat" in out.coords
+    np.testing.assert_array_equal(np.asarray(out.coords["lat"]), lat)

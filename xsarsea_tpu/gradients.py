@@ -801,8 +801,11 @@ class PlotGradients:
                         dim, np.arange(self.peak["angle"].sizes[dim]))))
                 for style_name, style_values in table.items():
                     for i, v in enumerate(vals[: len(style_values)]):
+                        # 'black', not matplotlib's 'k' — these opts feed
+                        # the bokeh backend
                         style = {"line_dash": "solid", "line_width": 1,
-                                 "line_color": "k", style_name: style_values[i]}
+                                 "line_color": "black",
+                                 style_name: style_values[i]}
                         legends.append(
                             hv.Curve(dummy_line, label=f"{dim} {v}")
                             .redim.label(x="sample", y="line").opts(**style))

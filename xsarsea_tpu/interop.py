@@ -70,12 +70,15 @@ def to_dimarray(da) -> DimArray:
     )
 
 
-def to_dataarray(arr: DimArray, da_cls):
+def to_dataarray(arr: DimArray, da_cls, template=None):
     """Rebuild a DataArray of class ``da_cls`` from a DimArray.
 
     ``da_cls`` is the class of an input DataArray (so the constructor
     contract is xr.DataArray's: ``cls(data, coords=..., dims=...,
-    name=..., attrs=...)``).
+    name=..., attrs=...)``). When ``template`` (the original input
+    DataArray) is given, its auxiliary coords that the DimArray round
+    trip dropped — 2-D lat/lon rasters in particular — are re-attached
+    best-effort (only where dims/shapes still line up).
     """
     coords = {}
     for k, v in arr.coords.items():
@@ -93,6 +96,14 @@ def to_dataarray(arr: DimArray, da_cls):
         name=arr.name,
     )
     out.attrs.update(arr.attrs)
+    if template is not None:
+        for k in template.coords:
+            if k in coords:
+                continue
+            try:
+                out.coords[k] = template.coords[k]
+            except Exception:  # noqa: BLE001 — dims/shape no longer line up
+                pass
     return out
 
 
@@ -119,23 +130,26 @@ def xarray_io(fn):
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        da_cls = [None]
+        template = [None]
 
         def conv(v):
             if is_dataarray_like(v):
-                if da_cls[0] is None:
-                    da_cls[0] = type(v)
+                if template[0] is None:
+                    template[0] = v
                 return to_dimarray(v)
             return v
 
         args = tuple(conv(a) for a in args)
         kwargs = {k: conv(v) for k, v in kwargs.items()}
         out = fn(*args, **kwargs)
-        if da_cls[0] is None:
+        if template[0] is None:
             return out
 
         def back(o):
-            return to_dataarray(o, da_cls[0]) if isinstance(o, DimArray) else o
+            if isinstance(o, DimArray):
+                return to_dataarray(o, type(template[0]),
+                                    template=template[0])
+            return o
 
         if isinstance(out, tuple):
             return tuple(back(o) for o in out)

@@ -183,6 +183,12 @@ class Model:
 
         lut = lut.assign_attrs(model=self.name, pol=self.pol)
         lut.name = "sigma0_model"
+        # the cached payload is shared zero-copy between hits (a high-res
+        # LUT is ~180 MB); freeze numpy buffers so an in-place edit by a
+        # caller raises instead of silently corrupting later inversions
+        # (jax arrays are immutable already)
+        if isinstance(lut.data, np.ndarray):
+            lut.data.flags.writeable = False
         self._lut_cache[key] = lut
         return lut.copy()
 

@@ -71,7 +71,8 @@ def _sharded_invert_pixels_pallas(tables, inc, s0_co_db, s0_cr_db, dsig_cr,
     from xsarsea_tpu.windspeed.inversion import _make_pallas_invert_fn
 
     cache = tables.__dict__.setdefault("_invert_fn_cache", {})
-    key = ("sharded", mode, float(dsig_co), id(mesh))
+    # Mesh is hashable and compared by devices+axes — no id() reuse issues
+    key = ("sharded", mode, float(dsig_co), mesh)
     if key not in cache:
         cache[key] = _make_pallas_invert_fn(
             tables, dsig_co,

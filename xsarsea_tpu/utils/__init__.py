@@ -104,12 +104,24 @@ def get_test_file(fname, iszip=True):
 
 
 def _rss_mb():
-    """Resident set size in MB (no psutil needed)."""
+    """Current resident set size in MB (no psutil needed).
+
+    Linux: /proc/self/statm (current RSS). Elsewhere: ru_maxrss —
+    lifetime PEAK, so deltas clip at 0 once the high-water mark is set —
+    scaled per-platform (macOS reports bytes, not KB).
+    """
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * os.sysconf("SC_PAGE_SIZE") / 1e6
+    except Exception:  # pragma: no cover - non-linux
+        pass
     try:
         import resource
+        import sys
 
-        kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-        return kb / 1024.0  # linux reports KB
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        return rss / 1e6 if sys.platform == "darwin" else rss / 1e3
     except Exception:  # pragma: no cover - non-posix
         return float("nan")
 

@@ -479,10 +479,8 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         copol_group_argmin_pallas,
         crosspol_argmin_pallas,
         nearest_index_sorted,
-        nearest_index_uniform,
         slab_refine_pallas,
     )
-    from functools import partial as _partial
 
     block = DEFAULT_BLOCK
     if coarse:
@@ -512,17 +510,13 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
     wp_rows = lut_pad.shape[1]
     inv_dsig = 1.0 / float(dsig_co_val)
 
-    # incidence nearest-index: arithmetic path for uniform grids (the
-    # common case), gathering binary search otherwise (non-uniform NcLuts)
+    # incidence nearest-index: nearest_index_sorted dispatches concrete
+    # uniform grids (the common case) to the gather-free arithmetic path
+    # itself, and binary-searches non-uniform NcLut grids
     def _make_nearest(grid_np):
-        grid_np = np.asarray(grid_np, dtype=np.float64)
-        steps = np.diff(grid_np)
-        if steps.size and np.allclose(steps, steps[0], rtol=1e-6, atol=0):
-            return _partial(nearest_index_uniform, grid_np[0],
-                            (grid_np[-1] - grid_np[0]) / (len(grid_np) - 1),
-                            len(grid_np))
-        grid_dev = jnp.asarray(grid_np, dtype=jnp.float32)
-        return lambda values: nearest_index_sorted(grid_dev, values)
+        grid = jnp.asarray(np.asarray(grid_np, dtype=np.float64),
+                           dtype=jnp.float32)
+        return lambda values: nearest_index_sorted(grid, values)
 
     nearest_inc = _make_nearest(tables.co_inc)
 
@@ -695,10 +689,10 @@ def _get_invert_fn(tables, chunk_size, mode="exact", dsig_co=0.1):
     cache = tables.__dict__.setdefault("_invert_fn_cache", {})
     if mode.startswith("pallas"):
         # the pallas path is unchunked (its postprocess is elementwise);
-        # normalize the key so chunk_size never splits its cache
-        chunk_size = max(chunk_size, 8192)
-    key = (chunk_size, mode,
-           float(dsig_co) if mode.startswith("pallas") else None)
+        # chunk_size must not split its cache at all
+        key = (mode, float(dsig_co))
+    else:
+        key = (chunk_size, mode, None)
     if key not in cache:
         if mode == "exact":
             cache[key] = _make_invert_fn(tables, chunk_size)
