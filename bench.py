@@ -103,7 +103,7 @@ def main():
     # device). Best of 2: the first streamed pass after a compile pays a
     # one-time staging penalty on the dev-tunnel backend.
     e2e_mpx_s = 0.0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         co_d, dual_d = invert_pixels(*args, mode=mode, device_output=True)
         jax.block_until_ready((co_d, dual_d))
