@@ -529,6 +529,12 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         n_cr_inc = cr_pad_np.shape[0]
         n_cr_wspd = np.asarray(tables.cr_wspd).shape[0]
         nearest_cr = _make_nearest(tables.cr_inc)
+        # same incidence axis as copol (the common case: both LUTs built
+        # with the same kwargs) -> stage 3 reuses stage 1's buckets and
+        # skips its own 1-D sort
+        cr_same_inc = (CR_BLOCK == DEFAULT_BLOCK and np.array_equal(
+            np.asarray(tables.co_inc, np.float64),
+            np.asarray(tables.cr_inc, np.float64)))
     else:
         # dummies keep the jit signature stable; never read when !has_cr
         cr_pad = jnp.zeros((1, 1, 128), jnp.float32)
@@ -612,11 +618,15 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
             co_valid = ~jnp.isnan(s0_co_db)
             wspd_co_m = jnp.where(co_valid, wspd_co_raw.astype(f32), jnp.nan)
             has_co_f = (~jnp.isnan(wspd_co_m)).astype(f32)
-            i_cr = nearest_cr(inc)
-            perm3, band3 = bucket_by_band(i_cr, n_bands=n_cr_inc,
-                                          block=CR_BLOCK)
-            valid3 = perm3 >= 0
-            pidx3 = jnp.clip(perm3, 0)
+            if cr_same_inc:
+                perm3, band3 = perm, band_of_block
+                valid3, pidx3 = valid, pidx
+            else:
+                i_cr = nearest_cr(inc)
+                perm3, band3 = bucket_by_band(i_cr, n_bands=n_cr_inc,
+                                              block=CR_BLOCK)
+                valid3 = perm3 >= 0
+                pidx3 = jnp.clip(perm3, 0)
             pix3 = jnp.stack(
                 [
                     s0_cr_db.astype(f32),
