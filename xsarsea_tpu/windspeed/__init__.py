@@ -17,6 +17,7 @@ __all__ = [
     "get_dsig_wspd",
     "GmfModel",
     "Model",
+    "gmfs",
     "gmfs_impl",
     "InversionTables",
     "prepare_tables",
@@ -33,6 +34,8 @@ from xsarsea_tpu.models import (
     register_nc_luts,
     register_pickle_luts,
 )
+# the reference exposes its GMF engine as `windspeed.gmfs`
+from xsarsea_tpu.models import gmf as gmfs  # noqa: F401
 from xsarsea_tpu.windspeed.dsig import get_dsig, get_dsig_wspd, nesz_flattening
 from xsarsea_tpu.windspeed.inversion import (
     InversionTables,
