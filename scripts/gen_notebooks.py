@@ -63,6 +63,7 @@ TITLES = {
     "detrend_roughness": "Sigma0 detrend (roughness / nice display)",
     "streaks_direction": "Wind-streak direction from multi-scale gradients",
     "gmfs_and_luts": "GMFs, LUTs and custom model registration",
+    "multichip_batch": "Multi-scene batch inversion over a device mesh",
 }
 
 
