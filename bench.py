@@ -100,7 +100,7 @@ def main():
     # end-to-end: host inputs -> device-resident results (transfers
     # streamed in double-buffered pieces overlapping compute; the d2h
     # copy is not part of the step — downstream stages keep working on
-    # device). Best of 2: the first streamed pass after a compile pays a
+    # device). Best of 3: the first streamed pass after a compile pays a
     # one-time staging penalty on the dev-tunnel backend.
     e2e_mpx_s = 0.0
     for _ in range(3):

@@ -12,7 +12,8 @@ import os
 # Demonstrated on a virtual 8-device CPU mesh by default so it runs
 # anywhere (flags must be set BEFORE jax initializes). On a real TPU pod
 # set XSARSEA_MULTICHIP_BACKEND=native to use the actual devices.
-if os.environ.get("XSARSEA_MULTICHIP_BACKEND", "cpu") == "cpu":
+_USE_CPU_MESH = os.environ.get("XSARSEA_MULTICHIP_BACKEND", "cpu") == "cpu"
+if _USE_CPU_MESH:
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -21,7 +22,7 @@ if os.environ.get("XSARSEA_MULTICHIP_BACKEND", "cpu") == "cpu":
 import numpy as np
 import jax
 
-if os.environ.get("XSARSEA_MULTICHIP_BACKEND", "cpu") == "cpu":
+if _USE_CPU_MESH:
     jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp

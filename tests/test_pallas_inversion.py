@@ -171,3 +171,33 @@ def test_pallas_nonuniform_incidence_grid():
         m = ~np.isnan(np.abs(ref))
         np.testing.assert_array_equal(np.isnan(np.abs(got)), ~m)
         np.testing.assert_array_equal(got[m], ref[m])
+
+
+def test_pallas_differing_crosspol_incidence_grid():
+    """When the crosspol LUT has a DIFFERENT incidence axis than copol,
+    stage 3 falls back to its own bucketing — result still equals exact."""
+    kwargs = dict(inc_step=0.5, wspd_step=0.5, phi_step=5.0)
+    lut_co = get_model("gmf_cmod5n").to_lut(units="dB", **kwargs)
+    lut_cr = get_model("gmf_s1_v2").to_lut(units="dB", inc_step=0.7,
+                                           wspd_step=0.5, phi_step=5.0)
+    assert not np.array_equal(np.asarray(lut_co.coords["incidence"]),
+                              np.asarray(lut_cr.coords["incidence"]))
+    tables = InversionTables(lut_co, lut_cr, dtype=jnp.float32)
+
+    rng = np.random.default_rng(13)
+    n = 300
+    inc = rng.uniform(17.0, 60.0, n)
+    s0_co_db = rng.uniform(-30.0, 0.0, n)
+    s0_cr_db = rng.uniform(-40.0, -20.0, n)
+    anc = rng.uniform(1, 25, n) * np.exp(1j * rng.uniform(-np.pi, np.pi, n))
+    dsig_cr = rng.uniform(0.1, 1.0, n)
+    s0_cr_db[3] = np.nan
+
+    co_e, dual_e = invert_pixels(tables, inc, s0_co_db, s0_cr_db, dsig_cr,
+                                 anc, mode="exact")
+    co_p, dual_p = invert_pixels(tables, inc, s0_co_db, s0_cr_db, dsig_cr,
+                                 anc, mode="pallas_interpret")
+    for got, ref in ((co_p, co_e), (dual_p, dual_e)):
+        m = ~np.isnan(np.abs(ref))
+        np.testing.assert_array_equal(np.isnan(np.abs(got)), ~m)
+        np.testing.assert_array_equal(got[m], ref[m])

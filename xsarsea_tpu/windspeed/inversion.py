@@ -531,10 +531,12 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         nearest_cr = _make_nearest(tables.cr_inc)
         # same incidence axis as copol (the common case: both LUTs built
         # with the same kwargs) -> stage 3 reuses stage 1's buckets and
-        # skips its own 1-D sort
+        # skips its own 1-D sort (nearest_cr then never runs)
         cr_same_inc = (CR_BLOCK == DEFAULT_BLOCK and np.array_equal(
             np.asarray(tables.co_inc, np.float64),
             np.asarray(tables.cr_inc, np.float64)))
+        if cr_same_inc:
+            nearest_cr = None
     else:
         # dummies keep the jit signature stable; never read when !has_cr
         cr_pad = jnp.zeros((1, 1, 128), jnp.float32)
