@@ -1,0 +1,188 @@
+"""Out-of-core input streaming at the public API.
+
+Covers the framework's replacement for the reference's dask-chunked
+execution path (reference windspeed/windspeed.py:345-367, gmfs.py:295-299):
+``invert_from_model`` accepts lazy/chunked duck arrays, materializes only
+O(piece) rows at a time, and produces output equal to the eager path.
+"""
+
+import threading
+import tracemalloc
+
+import numpy as np
+import pytest
+
+from xsarsea_tpu.dimarray import DimArray
+from xsarsea_tpu.windspeed import invert_from_model
+
+from test_inversion import synthetic_scene
+
+
+class LazyRows:
+    """Duck chunked array: rows generated on demand, materialization counted.
+
+    Mimics the protocol shared by dask.array / zarr / h5py datasets that
+    the lazy input path relies on: ``shape``/``ndim``/``dtype``/``chunks``
+    attributes plus numpy-style first-axis slicing. Generating rows on
+    the fly means the full array NEVER exists in memory — any code path
+    that tried to materialize it wholesale would show up as a single
+    giant slice request.
+    """
+
+    def __init__(self, row_fn, shape, dtype=np.float64):
+        self._row_fn = row_fn
+        self.shape = tuple(shape)
+        self.ndim = len(self.shape)
+        self.dtype = np.dtype(dtype)
+        self.chunks = ((1,) * self.shape[0],) + tuple(
+            (s,) for s in self.shape[1:])
+        self.max_request = 0  # elements per single slice request
+        self._lock = threading.Lock()
+
+    def __getitem__(self, idx):
+        assert isinstance(idx, slice), "lazy path must slice the first axis"
+        r0, r1, step = idx.indices(self.shape[0])
+        assert step == 1
+        block = np.asarray(self._row_fn(r0, r1), dtype=self.dtype)
+        with self._lock:
+            self.max_request = max(self.max_request, block.size)
+        return block
+
+
+def _lazy_scene(ny, nx):
+    """The synthetic scene re-exposed as lazy row generators."""
+    inc, s0_co, s0_cr, dsig_cr, anc = synthetic_scene(ny=ny, nx=nx,
+                                                      with_nans=True)
+    lazy = {
+        "inc": LazyRows(lambda a, b: inc[a:b], inc.shape),
+        "s0_co": LazyRows(lambda a, b: s0_co[a:b], s0_co.shape),
+        "s0_cr": LazyRows(lambda a, b: s0_cr[a:b], s0_cr.shape),
+        "dsig_cr": LazyRows(lambda a, b: dsig_cr[a:b], dsig_cr.shape),
+        "anc": LazyRows(lambda a, b: anc[a:b], anc.shape, dtype=np.complex128),
+    }
+    return (inc, s0_co, s0_cr, dsig_cr, anc), lazy
+
+
+MODEL = ("gmf_cmod5n", "gmf_s1_v2")
+KW = dict(inc_step=0.4, wspd_step=0.4, phi_step=2.5)
+
+
+def test_lazy_chunked_input_matches_eager():
+    """Lazy duck-array inputs stream piece-wise and match the eager path."""
+    ny, nx = 96, 110  # 10560 px; piece 2048 -> 6 pieces incl. padded tail
+    (inc, s0_co, s0_cr, dsig_cr, anc), lazy = _lazy_scene(ny, nx)
+
+    co_ref, dual_ref = invert_from_model(
+        inc, s0_co, s0_cr, ancillary_wind=anc, dsig_cr=dsig_cr,
+        model=MODEL, mode="exact", **KW)
+    piece = 2048
+    co_lz, dual_lz = invert_from_model(
+        lazy["inc"], lazy["s0_co"], lazy["s0_cr"],
+        ancillary_wind=lazy["anc"], dsig_cr=lazy["dsig_cr"],
+        model=MODEL, mode="exact", piece_size=piece, **KW)
+
+    np.testing.assert_array_equal(co_lz, co_ref)
+    np.testing.assert_array_equal(dual_lz, dual_ref)
+
+    # no input was ever materialized beyond one piece (+ partial rows at
+    # both ends of the flat range)
+    for name, arr in lazy.items():
+        assert 0 < arr.max_request <= piece + 2 * nx, (
+            f"{name}: materialized {arr.max_request} elements at once")
+
+
+def test_lazy_input_inside_dimarray_stays_lazy():
+    """DimArray/DataArray wrapping keeps the chunked payload unmaterialized."""
+    ny, nx = 64, 70
+    (inc, s0_co, s0_cr, dsig_cr, anc), lazy = _lazy_scene(ny, nx)
+
+    dims = ("line", "sample")
+    da_s0 = DimArray(lazy["s0_co"], dims=dims,
+                     coords={"pol": np.asarray("VV")})
+    assert da_s0.data is lazy["s0_co"]  # constructor did not coerce
+
+    co_ref, dual_ref = invert_from_model(
+        inc, s0_co, s0_cr, ancillary_wind=anc, dsig_cr=dsig_cr,
+        model=MODEL, mode="exact", **KW)
+    co_lz, dual_lz = invert_from_model(
+        DimArray(lazy["inc"], dims=dims), da_s0, lazy["s0_cr"],
+        ancillary_wind=lazy["anc"], dsig_cr=dsig_cr,
+        model=MODEL, mode="exact", piece_size=1024, **KW)
+
+    np.testing.assert_array_equal(np.asarray(co_lz.data), co_ref)
+    np.testing.assert_array_equal(np.asarray(dual_lz.data), dual_ref)
+    assert lazy["s0_co"].max_request <= 1024 + 2 * nx
+
+
+def test_host_staging_is_piece_bounded():
+    """Peak host allocations during streaming stay far below full-scene
+    f64 staging (the round-2 path allocated ~6 full-scene f64/c128 copies;
+    VERDICT r2 item 1)."""
+    ny, nx = 256, 256  # 65536 px
+    (inc, s0_co, s0_cr, dsig_cr, anc), lazy = _lazy_scene(ny, nx)
+    n = ny * nx
+    piece = 4096
+
+    # warm every jit/LUT cache outside the measured window
+    invert_from_model(inc[:8], s0_co[:8], s0_cr[:8], ancillary_wind=anc[:8],
+                      dsig_cr=dsig_cr[:8], model=MODEL, mode="exact", **KW)
+
+    tracemalloc.start()
+    invert_from_model(
+        lazy["inc"], lazy["s0_co"], lazy["s0_cr"],
+        ancillary_wind=lazy["anc"], dsig_cr=lazy["dsig_cr"],
+        model=MODEL, mode="exact", piece_size=piece, **KW)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+
+    # outputs: 2 complex arrays (complex128 on the x64 CPU test config).
+    # Eager staging would add ~6 full-scene f64/c128 temporaries
+    # (>= 48 B/px); allow outputs + a generous piece-scaled slack.
+    outputs = 2 * n * 16
+    slack = 40 * piece * 16  # pieces in flight across 3 lanes, x64
+    assert peak < outputs + slack, (
+        f"peak {peak / 1e6:.1f} MB suggests full-scene staging "
+        f"(outputs alone are {outputs / 1e6:.1f} MB)")
+
+
+def test_lazy_detrend_matches_eager():
+    """sigma0_detrend streams chunked input row-block-wise (same numbers)."""
+    from xsarsea_tpu.detrend import sigma0_detrend
+
+    ny, nx = 60, 80
+    rng = np.random.default_rng(3)
+    inc = np.linspace(18.0, 45.0, nx)[None, :].repeat(ny, axis=0)
+    s0 = rng.uniform(0.001, 0.2, size=(ny, nx))
+
+    ref = np.asarray(sigma0_detrend(s0, inc))
+    lazy_s0 = LazyRows(lambda a, b: s0[a:b], s0.shape)
+    lazy_inc = LazyRows(lambda a, b: inc[a:b], inc.shape)
+    got = np.asarray(sigma0_detrend(lazy_s0, lazy_inc))
+    np.testing.assert_array_equal(got, ref)
+    # only the first incidence row was ever pulled
+    assert lazy_inc.max_request == nx
+
+
+def test_scalar_dsig_and_mono_pol_lazy():
+    """Mono-pol lazy input with scalar dsig_cr (None-stream code paths)."""
+    ny, nx = 48, 50
+    (inc, s0_co, s0_cr, dsig_cr, anc), lazy = _lazy_scene(ny, nx)
+
+    co_ref = invert_from_model(
+        inc, s0_co, ancillary_wind=anc, model="gmf_cmod5n",
+        mode="exact", **KW)
+    co_lz = invert_from_model(
+        lazy["inc"], lazy["s0_co"], ancillary_wind=lazy["anc"],
+        model="gmf_cmod5n", mode="exact", piece_size=512, **KW)
+    np.testing.assert_array_equal(co_lz, co_ref)
+
+    with pytest.warns(UserWarning, match="crosspol"):
+        speed_ref = invert_from_model(
+            inc, s0_cr, ancillary_wind=anc, dsig_cr=0.3,
+            model="gmf_s1_v2", mode="exact", **KW)
+    with pytest.warns(UserWarning, match="crosspol"):
+        speed_lz = invert_from_model(
+            lazy["inc"], lazy["s0_cr"], ancillary_wind=lazy["anc"],
+            dsig_cr=0.3, model="gmf_s1_v2", mode="exact",
+            piece_size=512, **KW)
+    np.testing.assert_array_equal(speed_lz, speed_ref)

@@ -45,29 +45,52 @@ def sigma0_detrend(
         raise ValueError("wind_speed_gmf and wind_dir_gmf must be scalars (size 1)")
 
     is_dimarray = isinstance(sigma0, DimArray)
-    inc_data = inc_angle.data if isinstance(inc_angle, DimArray) else jnp.asarray(inc_angle)
-    s0_data = sigma0.data if is_dimarray else jnp.asarray(sigma0)
+    raw_s0 = sigma0.data if is_dimarray else sigma0
+    raw_inc = inc_angle.data if isinstance(inc_angle, DimArray) else inc_angle
+
+    def _is_lazy(a):
+        # dask/zarr protocol: .chunks attribute + numpy-style slicing
+        return (hasattr(a, "chunks")
+                and not isinstance(a, (np.ndarray, jax.Array)))
+
+    # only the FIRST line of incidence feeds the GMF (detrend.py:55);
+    # lazy inputs materialize that one row
+    inc_row_np = np.asarray(raw_inc[0:1])[0] if _is_lazy(raw_inc) \
+        else np.asarray(raw_inc)[0]
+    lazy = _is_lazy(raw_s0)
 
     gmf_fn = model._jit_broadcast if hasattr(model, "_jit_broadcast") else None
 
-    @jax.jit
-    def _detrend(s0, inc_row):
-        if gmf_fn is not None:
+    if gmf_fn is not None:
+        @jax.jit
+        def _ratio_fn(inc_row):
             sample = gmf_fn(inc_row, jnp.asarray(wspd[0], dtype=inc_row.dtype),
                             jnp.asarray(phi[0], dtype=inc_row.dtype))
-        else:
-            raise NotImplementedError
-        ratio = sample / jnp.nanmean(sample)
-        return s0 / ratio[None, :]
+            return sample / jnp.nanmean(sample)
 
-    if gmf_fn is None:
-        # tabulated model: evaluate through the LUT interp (host path)
-        sample = model(np.asarray(inc_data[0]), wspd, phi)
-        sample_v = np.squeeze(np.asarray(sample.data if isinstance(sample, DimArray) else sample))
-        ratio = sample_v / np.nanmean(sample_v)
-        detrended_data = s0_data / jnp.asarray(ratio)[None, :]
+        ratio = _ratio_fn(jnp.asarray(inc_row_np))
     else:
-        detrended_data = _detrend(jnp.asarray(s0_data), jnp.asarray(inc_data)[0])
+        # tabulated model: evaluate through the LUT interp (host path)
+        sample = model(inc_row_np, wspd, phi)
+        sample_v = np.squeeze(np.asarray(
+            sample.data if isinstance(sample, DimArray) else sample))
+        ratio = jnp.asarray(sample_v / np.nanmean(sample_v))
+
+    if lazy:
+        # stream the broadcast divide row-block-wise: host memory is
+        # O(output + block), never O(2x scene) — the reference runs this
+        # lazily on dask-backed DataArrays (detrend.py:55-64)
+        shape = tuple(int(s) for s in np.shape(raw_s0))
+        ratio_np = np.asarray(ratio)
+        out = np.empty(shape, dtype=ratio_np.dtype)
+        rows = max(1, (1 << 22) // max(1, shape[1]))
+        for r0 in range(0, shape[0], rows):
+            r1 = min(r0 + rows, shape[0])
+            out[r0:r1] = np.asarray(raw_s0[r0:r1]) / ratio_np[None, :]
+        detrended_data = out
+    else:
+        detrended_data = jax.jit(lambda s0, r: s0 / r[None, :])(
+            jnp.asarray(raw_s0), ratio)
 
     if is_dimarray:
         out = sigma0.copy(data=detrended_data)

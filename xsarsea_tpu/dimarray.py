@@ -66,7 +66,11 @@ class DimArray:
             name = name or data.name
             data = data.data
         if not (isinstance(data, jax.Array) or isinstance(data, np.ndarray)):
-            data = np.asarray(data)
+            # chunked/lazy duck arrays (dask/zarr convention: a .chunks
+            # attribute plus numpy-style slicing) are stored as-is so
+            # out-of-core pipelines stay lazy; anything else is coerced
+            if not (hasattr(data, "chunks") and hasattr(data, "ndim")):
+                data = np.asarray(data)
         ndim = data.ndim
         if dims is None:
             dims = tuple(f"dim_{i}" for i in range(ndim))

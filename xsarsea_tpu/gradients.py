@@ -160,6 +160,55 @@ def _device_supports_complex():
     return "axon" not in version.lower()
 
 
+def _lg_arrays(ampl):
+    """Pure-array local-gradients core (traceable; see local_gradients).
+
+    ``ampl`` is the amplitude image (already R2-reduced + sqrt'ed by the
+    caller). Returns ``(re2, im2, g3, g2_abs, g2_angle, c)`` on the
+    2x-reduced grid. Complex arithmetic is carried as real pairs — the
+    natural TPU layout (no native complex64 on the VPU); the
+    principal-branch sqrt is |z|^0.5 and angle(z)/2.
+    """
+    grad_r = scharr(ampl, axis=1)
+    grad_i = scharr(ampl, axis=0)
+    # (grad_r + i*grad_i)^2 as a real pair
+    re12 = grad_r * grad_r - grad_i * grad_i
+    im12 = 2.0 * grad_r * grad_i
+    abs12 = jnp.hypot(re12, im12)
+
+    re2 = r2_reduce(re12)
+    im2 = r2_reduce(im12)
+    g3 = r2_reduce(abs12)
+    abs2 = jnp.hypot(re2, im2)
+    c = abs2 / (g3 + 0.00001)
+    c = jnp.where(c <= 1.0, c, 0.0)
+    return re2, im2, g3, jnp.sqrt(abs2), jnp.arctan2(im2, re2) / 2.0, c
+
+
+_lg_jit = jax.jit(_lg_arrays)
+
+
+def _streaks_lg(img):
+    """sigma0 -> (G2_abs, G2_angle, c) on the 4x-reduced grid (traceable)."""
+    ampl = jnp.sqrt(r2_reduce(img))
+    _, _, _, g2_abs, g2_angle, c = _lg_arrays(ampl)
+    return g2_abs, g2_angle, c
+
+
+#: one fused XLA program per image shape, batched over the pol axis —
+#: the multiscale Gradients fan-out calls this once per resolution level
+#: instead of re-running the conv pipeline per (pol, window_size) combo
+_streaks_lg_batched = jax.jit(jax.vmap(_streaks_lg))
+
+
+def _r2_coord(c):
+    """Coordinate of one R2 reduction: trim to even, mean per pair
+    (mirrors DimArray.coarsen_mean's coord math, gradients.py:714)."""
+    c = np.asarray(c, dtype=np.float64)
+    n = (len(c) // 2) * 2
+    return c[:n].reshape(-1, 2).mean(axis=1)
+
+
 def local_gradients(image):
     """Local squared gradients with quality index (gradients.py:588-634).
 
@@ -173,32 +222,32 @@ def local_gradients(image):
     * ``G2`` — the complex gradient itself, on backends with complex64;
     * ``G3`` — R2 of |G²| (gradient energy);
     * ``c``  — quality index |R2(G²)| / G3, clipped to [0, 1].
+
+    The numeric core runs as ONE jitted XLA program (the reference
+    dispatches cv2.Scharr + 3 scipy convolution cascades separately,
+    gradients.py:612-631).
     """
     da = _as_da(image)
-    grad_r = scharr(da.data, axis=1)
-    grad_i = scharr(da.data, axis=0)
-    # (grad_r + i*grad_i)^2 as a real pair
-    re12 = grad_r * grad_r - grad_i * grad_i
-    im12 = 2.0 * grad_r * grad_i
-    abs12 = jnp.hypot(re12, im12)
+    re2, im2, g3, g2_abs, g2_angle, c = _lg_jit(jnp.asarray(da.data))
 
-    re2 = R2(da.copy(data=re12))
-    im2 = R2(da.copy(data=im12))
-    grad3 = R2(da.copy(data=abs12))
-    abs2 = jnp.hypot(re2.data, im2.data)
-    c_data = abs2 / (grad3.data + 0.00001)
-    c_data = jnp.where(c_data <= 1.0, c_data, 0.0)
+    coords = {k: v for k, v in da.coords.items()
+              if k not in ("line", "sample")}
+    for d in ("line", "sample"):
+        if d in da.coords:
+            coords[d] = _r2_coord(da.coords[d])
+
+    def mk(data, name):
+        return DimArray(data, dims=da.dims, coords=coords, attrs=da.attrs,
+                        name=name)
 
     out = DimDataset({
-        "G2_abs": re2.copy(data=jnp.sqrt(abs2)).rename("G2_abs"),
-        "G2_angle": re2.copy(
-            data=jnp.arctan2(im2.data, re2.data) / 2.0).rename("G2_angle"),
-        "G3": grad3.rename("G3"),
-        "c": re2.copy(data=c_data).rename("c"),
+        "G2_abs": mk(g2_abs, "G2_abs"),
+        "G2_angle": mk(g2_angle, "G2_angle"),
+        "G3": mk(g3, "G3"),
+        "c": mk(c, "c"),
     })
     if _device_supports_complex():
-        g2 = jnp.sqrt(lax.complex(re2.data, im2.data))
-        out["G2"] = re2.copy(data=g2).rename("G2")
+        out["G2"] = mk(jnp.sqrt(lax.complex(re2, im2)), "G2")
     return out
 
 
@@ -289,13 +338,10 @@ def streaks_histogram_core(img, centers_l, centers_s, window, angles_bins):
     used_ratio (nwin,)) — the reference histogram contract
     (gradients.py:89-125).
     """
-    ampl = jnp.sqrt(R2(_as_da(img)).data)  # i2 then amplitude
-    lg = local_gradients(ampl)
-    abs_w = _extract_windows(lg["G2_abs"].data, centers_l, centers_s,
-                             window, window)
-    ang_w = _extract_windows(lg["G2_angle"].data, centers_l, centers_s,
-                             window, window)
-    c_w = _extract_windows(lg["c"].data, centers_l, centers_s, window, window)
+    g2_abs, g2_angle, c = _streaks_lg(jnp.asarray(img))
+    abs_w = _extract_windows(g2_abs, centers_l, centers_s, window, window)
+    ang_w = _extract_windows(g2_angle, centers_l, centers_s, window, window)
+    c_w = _extract_windows(c, centers_l, centers_s, window, window)
     hist, ratio = _histogram_windows(abs_w, ang_w, c_w, angles_bins)
     return hist / (window * window), jnp.nan_to_num(ratio)
 
@@ -323,6 +369,10 @@ class Gradients2D:
         self._windows_at = windows_at
         self.n_angles = 72
         self._lg = None
+        # (G2_abs, G2_angle, c) DimArrays injected by the multiscale
+        # Gradients fan-out — computed ONCE per (pol, downscale factor)
+        # in a pol-batched jitted program and shared across window sizes
+        self._lg_hist = None
 
     @property
     def i2(self):
@@ -382,8 +432,11 @@ class Gradients2D:
 
     @property
     def _histogram_native(self):
-        lg = self.local_gradients
-        g2, g2_ang, c = lg["G2_abs"], lg["G2_angle"], lg["c"]
+        if self._lg_hist is not None:
+            g2, g2_ang, c = self._lg_hist
+        else:
+            lg = self.local_gradients
+            g2, g2_ang, c = lg["G2_abs"], lg["G2_angle"], lg["c"]
 
         # window size in lg pixels (gradients.py:151-158)
         win = int(np.mean([
@@ -478,18 +531,59 @@ class Gradients:
 
         self.gradients_list = []
         self._combos = []
+        self._lg_groups = []  # one (s0, [Gradients2D...]) per (pol, factor)
+        self._lg_ready = False
         pols = np.asarray(sigma0.coords.get("pol", np.arange(sigma0.sizes["pol"])))
         for ip, p in enumerate(pols):
             for df in self.downscales_factors:
                 s0 = Gradients._sigma0_resample(sigma0.isel(pol=ip), df)
+                group = []
                 for ws in self.windows_sizes:
-                    self.gradients_list.append(Gradients2D(s0, window_size=ws))
+                    g2d = Gradients2D(s0, window_size=ws)
+                    self.gradients_list.append(g2d)
+                    group.append(g2d)
                     self._combos.append((p, df, ws))
+                self._lg_groups.append((s0, group))
         self.gradients_list[0].window_step = window_step
         self.stacked_gradients = StackedGradients(self.gradients_list)
 
+    def _precompute_lg(self):
+        """Batch the local-gradients fan-out (VERDICT r2 item 3).
+
+        The conv pipeline (R2 -> Scharr -> R2 cascade) is by far the
+        expensive part of a multiscale run; the naive fan-out re-runs it
+        once per (pol x factor x window_size). Here it runs once per
+        *resolution level*: images of equal shape (all pols of one
+        downscale factor) are stacked and pushed through ONE vmapped
+        jitted program, and every window size shares the result.
+        """
+        if self._lg_ready:
+            return
+        from collections import defaultdict
+
+        by_shape = defaultdict(list)
+        for s0, group in self._lg_groups:
+            by_shape[tuple(s0.shape)].append((s0, group))
+        for entries in by_shape.values():
+            imgs = jnp.stack([jnp.asarray(s0.data) for s0, _ in entries])
+            abs_b, ang_b, c_b = _streaks_lg_batched(imgs)
+            for k, (s0, group) in enumerate(entries):
+                coords = {kk: vv for kk, vv in s0.coords.items()
+                          if kk not in ("line", "sample")}
+                coords["line"] = _r2_coord(_r2_coord(s0.coords["line"]))
+                coords["sample"] = _r2_coord(_r2_coord(s0.coords["sample"]))
+                trio = tuple(
+                    DimArray(arr[k], dims=("line", "sample"), coords=coords,
+                             name=nm)
+                    for arr, nm in ((abs_b, "G2_abs"), (ang_b, "G2_angle"),
+                                    (c_b, "c")))
+                for g2d in group:
+                    g2d._lg_hist = trio
+        self._lg_ready = True
+
     @property
     def histogram(self):
+        self._precompute_lg()
         stacked = self.stacked_gradients.histogram
         npol = len(np.unique([c[0] for c in self._combos]))
         ndf = len(self.downscales_factors)

@@ -53,7 +53,15 @@ def to_dimarray(da) -> DimArray:
     on the way back out.
     """
     dims = tuple(da.dims)
-    shape = tuple(np.shape(da.values))
+    # chunked (dask-backed) DataArrays keep their lazy array: ``.values``
+    # would materialize the whole scene, defeating out-of-core execution
+    # (reference dask path: windspeed.py:345-367). DimArray stores duck
+    # arrays with a .chunks attribute as-is.
+    data = getattr(da, "data", None)
+    if not (data is not None and hasattr(data, "chunks")
+            and hasattr(data, "ndim")):
+        data = np.asarray(da.values)
+    shape = tuple(np.shape(data))
     coords = {}
     for k in da.coords:
         v = _coord_values(da.coords[k])
@@ -62,7 +70,7 @@ def to_dimarray(da) -> DimArray:
         elif v.ndim == 1 and (k not in dims or v.shape[0] == shape[dims.index(k)]):
             coords[k] = v
     return DimArray(
-        np.asarray(da.values),
+        data,
         dims=dims,
         coords=coords,
         attrs=dict(da.attrs),

@@ -720,6 +720,196 @@ def _get_invert_fn(tables, chunk_size, mode="exact", dsig_co=0.1):
     return cache[key]
 
 
+# ------------------------------------------------------ streamed piece source
+
+def _flat_slice(arr, shape, lo, hi):
+    """Materialize flat row-major [lo, hi) of ``arr`` as a 1-D numpy array.
+
+    Contiguous numpy arrays are sliced as zero-copy views. Everything else
+    — non-contiguous views (broadcast dsig), and duck arrays with
+    numpy-style first-axis slicing (dask.array, h5py/zarr datasets,
+    np.memmap) — goes through a first-axis row slice covering [lo, hi), so
+    only O(piece) elements are ever materialized on the host. This is the
+    out-of-core boundary the reference implements with dask
+    (windspeed.py:345-367).
+    """
+    if isinstance(arr, np.ndarray) and arr.flags.c_contiguous:
+        return arr.reshape(-1)[lo:hi]
+    rest = 1
+    for s in shape[1:]:
+        rest *= int(s)
+    r0, r1 = lo // rest, -(-hi // rest)
+    block = np.ascontiguousarray(np.asarray(arr[r0:r1])).reshape(-1)
+    return block[lo - r0 * rest: hi - r0 * rest]
+
+
+class _PreparedSource:
+    """Piece source over flat, already-dB-converted arrays (invert_pixels)."""
+
+    def __init__(self, np_dtype, inc, s0_co_db, s0_cr_db, dsig_cr, anc):
+        self.np_dtype = np_dtype
+        self.n = int(np.shape(inc)[0])
+        anc = np.asarray(anc)
+        self._arrs = (inc, s0_co_db, s0_cr_db, dsig_cr, anc.real, anc.imag)
+
+    def piece(self, lo, hi):
+        return [np.ascontiguousarray(a[lo:hi], dtype=self.np_dtype)
+                for a in self._arrs]
+
+
+class _LazySource:
+    """Piece source running the reference's host prep slice-by-slice.
+
+    The reference converts the whole scene upfront — f64 dB conversion
+    with the 1e-15 clip (windspeed.py:126-130), complex128 ancillary,
+    broadcast dsig_cr — peaking at ~6 full-scene f64 temporaries. Here
+    every transform runs on the rows covering one [lo, hi) piece (same
+    f64 math, so results are bit-identical), keeping host memory O(piece)
+    and accepting lazy/chunked inputs that never fit in memory at once.
+    ``s0_co``/``s0_cr``/``anc`` may be None (NaN streams); ``dsig_cr``
+    may be a scalar.
+    """
+
+    def __init__(self, shape, np_dtype, inc, s0_co=None, s0_cr=None,
+                 dsig_cr=0.1, anc=None):
+        self.shape = tuple(int(s) for s in shape)
+        self.np_dtype = np_dtype
+        self.n = 1
+        for s in self.shape:
+            self.n *= s
+        self.inc, self.s0_co, self.s0_cr = inc, s0_co, s0_cr
+        self.dsig_cr, self.anc = dsig_cr, anc
+
+    def _db(self, arr, lo, hi):
+        if arr is None:
+            return np.full(hi - lo, np.nan, dtype=self.np_dtype)
+        x = _flat_slice(arr, self.shape, lo, hi).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            x = 10.0 * np.log10(x + 1e-15)
+        return np.ascontiguousarray(x, dtype=self.np_dtype)
+
+    def piece(self, lo, hi):
+        m = hi - lo
+        inc = np.ascontiguousarray(
+            _flat_slice(self.inc, self.shape, lo, hi), dtype=self.np_dtype)
+        s0_co = self._db(self.s0_co, lo, hi)
+        s0_cr = self._db(self.s0_cr, lo, hi)
+        if np.ndim(self.dsig_cr) == 0:
+            dsig = np.full(m, float(np.asarray(self.dsig_cr)),
+                           dtype=self.np_dtype)
+        elif tuple(np.shape(self.dsig_cr)) == self.shape:
+            dsig = np.ascontiguousarray(
+                _flat_slice(self.dsig_cr, self.shape, lo, hi),
+                dtype=self.np_dtype)
+        else:  # broadcastable shape (e.g. per-row): numpy view, O(piece) copy
+            dsig = np.ascontiguousarray(
+                _flat_slice(np.broadcast_to(
+                    np.asarray(self.dsig_cr), self.shape), self.shape, lo, hi),
+                dtype=self.np_dtype)
+        if self.anc is None:
+            anc_re = np.full(m, np.nan, dtype=self.np_dtype)
+            anc_im = np.full(m, np.nan, dtype=self.np_dtype)
+        else:
+            a = _flat_slice(self.anc, self.shape, lo, hi)
+            anc_re = np.ascontiguousarray(a.real, dtype=self.np_dtype)
+            anc_im = np.ascontiguousarray(
+                a.imag if np.iscomplexobj(a) else np.zeros_like(a),
+                dtype=self.np_dtype)
+        return [inc, s0_co, s0_cr, dsig, anc_re, anc_im]
+
+
+def _invert_source(tables: InversionTables, source, dsig_co=0.1,
+                   chunk_size=256, mode="auto", device_output=False,
+                   piece_size=None):
+    """Run the inversion over a piece source (see invert_pixels for modes).
+
+    Large inputs stream in fixed-size pieces with THREE overlapped lanes:
+    a prep worker slices + casts + host->device-transfers piece k+1, the
+    main thread's (async-dispatched) kernels chew on piece k, and a fetch
+    worker copies piece k-1's results device->host straight into the
+    preallocated output arrays. Device residency and host temporaries
+    both stay O(piece) — on the axon dev tunnel, whose h2d bandwidth
+    collapses once large buffers sit resident, bounded residency is also
+    the main end-to-end throughput lever.
+    """
+    if mode == "auto":
+        mode = (
+            "pallas"
+            if tables.has_co and jax.default_backend() == "tpu"
+            else "exact"
+        )
+    dtype = tables.dtype
+    fn = _get_invert_fn(tables, chunk_size, mode=mode, dsig_co=dsig_co)
+    dsig_dev = jnp.asarray(dsig_co, dtype=dtype)
+    n = source.n
+    ctype = np.complex128 if dtype == jnp.float64 else np.complex64
+
+    _PIECE = piece_size or (1 << 22)
+    if n <= _PIECE + (_PIECE >> 1):
+        piece = [jnp.asarray(a) for a in source.piece(0, n)]
+        co_re, co_im, du_re, du_im = fn(*piece, dsig_dev)
+        if device_output:
+            return lax.complex(co_re, co_im), lax.complex(du_re, du_im)
+        wind_co = np.empty(n, dtype=ctype)
+        wind_dual = np.empty(n, dtype=ctype)
+        wind_co.real, wind_co.imag = np.asarray(co_re), np.asarray(co_im)
+        wind_dual.real, wind_dual.imag = np.asarray(du_re), np.asarray(du_im)
+        return wind_co, wind_dual
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def prep(lo):
+        hi = min(lo + _PIECE, n)
+        piece = source.piece(lo, hi)
+        if hi - lo < _PIECE:  # pad the tail piece: one jit shape only
+            piece = [np.pad(a, (0, _PIECE - (hi - lo)),
+                            constant_values=np.nan) for a in piece]
+        return [jnp.asarray(a) for a in piece]
+
+    offsets = list(range(0, n, _PIECE))
+
+    if device_output:
+        # device-resident results: accumulate per-piece outputs, one concat
+        outs = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(prep, offsets[0])
+            for i, lo in enumerate(offsets):
+                piece = fut.result()
+                if i + 1 < len(offsets):
+                    fut = pool.submit(prep, offsets[i + 1])
+                outs.append(fn(*piece, dsig_dev))
+        co_re, co_im, du_re, du_im = (
+            jnp.concatenate(parts)[:n] for parts in zip(*outs))
+        return lax.complex(co_re, co_im), lax.complex(du_re, du_im)
+
+    wind_co = np.empty(n, dtype=ctype)
+    wind_dual = np.empty(n, dtype=ctype)
+
+    def fetch(outs, lo, hi):
+        co_re, co_im, du_re, du_im = outs
+        m = hi - lo
+        wind_co.real[lo:hi] = np.asarray(co_re)[:m]
+        wind_co.imag[lo:hi] = np.asarray(co_im)[:m]
+        wind_dual.real[lo:hi] = np.asarray(du_re)[:m]
+        wind_dual.imag[lo:hi] = np.asarray(du_im)[:m]
+
+    with ThreadPoolExecutor(max_workers=1) as prep_pool, \
+            ThreadPoolExecutor(max_workers=1) as fetch_pool:
+        fut = prep_pool.submit(prep, offsets[0])
+        fetch_futs = []
+        for i, lo in enumerate(offsets):
+            piece = fut.result()
+            if i + 1 < len(offsets):
+                fut = prep_pool.submit(prep, offsets[i + 1])
+            if i >= 2:  # bound in-flight results: device residency O(piece)
+                fetch_futs[i - 2].result()
+            fetch_futs.append(fetch_pool.submit(
+                fetch, fn(*piece, dsig_dev), lo, min(lo + _PIECE, n)))
+        for f in fetch_futs:
+            f.result()
+    return wind_co, wind_dual
+
+
 def invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
                   ancillary_wind, dsig_co=0.1, chunk_size=256, mode="auto",
                   device_output=False, piece_size=None):
@@ -740,66 +930,12 @@ def invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
     in interpreter mode, for CPU testing), or 'auto' (pallas on TPU when
     a copol table is present, exact elsewhere).
     """
-    if mode == "auto":
-        mode = (
-            "pallas"
-            if tables.has_co and jax.default_backend() == "tpu"
-            else "exact"
-        )
-    dtype = tables.dtype
-    anc = np.asarray(ancillary_wind)
-    fn = _get_invert_fn(tables, chunk_size, mode=mode, dsig_co=dsig_co)
-    np_dtype = np.dtype(jnp.dtype(dtype).name)
-
-    def put(a):
-        # cast host-side (numpy SIMD) before the transfer: ~3x faster than
-        # jnp.asarray(a, dtype=...) and transfers half the bytes for f64 in.
-        # Contiguity matters: strided views (e.g. anc.real of a complex
-        # array) take a very slow element-wise transfer path.
-        a = np.ascontiguousarray(a, dtype=np_dtype)
-        return jnp.asarray(a)
-
-    arrs = (inc, s0_co_db, s0_cr_db, dsig_cr, anc.real, anc.imag)
-    dsig_dev = jnp.asarray(dsig_co, dtype=dtype)
-    n = np.shape(inc)[0]
-
-    # Large inputs stream in fixed-size pieces, double-buffered: a worker
-    # thread casts + host->device-transfers piece k+1 while the main
-    # thread's (async-dispatched) kernels chew on piece k. On backends
-    # where the transfer itself blocks the issuing thread, this overlaps
-    # it with compute instead of serializing the pipeline.
-    _PIECE = piece_size or (1 << 22)
-    if n > _PIECE + (_PIECE >> 1):
-        from concurrent.futures import ThreadPoolExecutor
-
-        def prep(lo):
-            hi = min(lo + _PIECE, n)
-            piece = [np.ascontiguousarray(a[lo:hi], dtype=np_dtype)
-                     for a in arrs]
-            if hi - lo < _PIECE:  # pad the tail piece: one jit shape only
-                piece = [np.pad(a, (0, _PIECE - (hi - lo)),
-                                constant_values=np.nan) for a in piece]
-            return [jnp.asarray(a) for a in piece]
-
-        outs = []
-        offsets = list(range(0, n, _PIECE))
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(prep, offsets[0])
-            for i, lo in enumerate(offsets):
-                piece = fut.result()
-                if i + 1 < len(offsets):
-                    fut = pool.submit(prep, offsets[i + 1])
-                outs.append(fn(*piece, dsig_dev))
-        co_re, co_im, du_re, du_im = (
-            jnp.concatenate(parts)[:n] for parts in zip(*outs))
-    else:
-        co_re, co_im, du_re, du_im = fn(*(put(a) for a in arrs), dsig_dev)
-    if device_output:
-        return lax.complex(co_re, co_im), lax.complex(du_re, du_im)
-    ctype = np.complex128 if dtype == jnp.float64 else np.complex64
-    wind_co = np.asarray(co_re, dtype=np.float64) + 1j * np.asarray(co_im, dtype=np.float64)
-    wind_dual = np.asarray(du_re, dtype=np.float64) + 1j * np.asarray(du_im, dtype=np.float64)
-    return wind_co.astype(ctype), wind_dual.astype(ctype)
+    np_dtype = np.dtype(jnp.dtype(tables.dtype).name)
+    source = _PreparedSource(np_dtype, inc, s0_co_db, s0_cr_db, dsig_cr,
+                             ancillary_wind)
+    return _invert_source(tables, source, dsig_co=dsig_co,
+                          chunk_size=chunk_size, mode=mode,
+                          device_output=device_output, piece_size=piece_size)
 
 
 # ------------------------------------------------------------- public facade
@@ -808,6 +944,27 @@ def _to_numpy(x):
     if isinstance(x, DimArray):
         return np.asarray(x.data)
     return np.asarray(x)
+
+
+def _raw_data(x):
+    """Underlying data object WITHOUT materializing lazy/chunked arrays."""
+    if x is None:
+        return None
+    return x.data if isinstance(x, DimArray) else x
+
+
+def _any_valid(x):
+    """True when ``x`` holds at least one non-NaN value.
+
+    Lazy/chunked inputs (no cheap full scan) are assumed valid — the
+    per-pixel NaN guards downstream handle the all-NaN case anyway.
+    """
+    if x is None:
+        return False
+    data = _raw_data(x)
+    if not isinstance(data, np.ndarray):
+        return True
+    return bool(np.any(~np.isnan(data)))
 
 
 @xarray_io
@@ -823,6 +980,7 @@ def invert_from_model(
     model=None,
     dtype=None,
     mode="auto",
+    piece_size=None,
     **kwargs,
 ):
     """Invert sigma0 into wind speed (and direction) using GMF/LUT model(s).
@@ -837,6 +995,16 @@ def invert_from_model(
 
     ``dtype``: computation precision; defaults to float32 on TPU and the
     enabled default elsewhere (float64 when x64 is on).
+
+    Inputs may be lazy/chunked duck arrays (dask.array, zarr, h5py
+    datasets, np.memmap — anything with ``shape`` and numpy-style
+    first-axis slicing), including inside DataArrays/DimArrays: the scene
+    is streamed through the device in ``piece_size``-pixel pieces
+    (default 4M) and the host prep (f64 dB conversion, complex split,
+    dtype cast — the reference's whole-scene prep, windspeed.py:126-130)
+    runs per piece, so host memory stays O(piece) + O(outputs) no matter
+    the scene size. This replaces the reference's dask chunk execution
+    (windspeed.py:345-367).
     """
     if dtype is None:
         dtype = jnp.float64 if (jax.config.jax_enable_x64 and
@@ -847,9 +1015,12 @@ def invert_from_model(
 
     template = next((v for v in (sigma0, inc) if isinstance(v, DimArray)), None)
 
-    np_inc = _to_numpy(inc).astype(np.float64)
-    np_s0 = _to_numpy(sigma0).astype(np.float64)
-    shape = np_s0.shape
+    # raw (possibly lazy/chunked) data objects — the host prep (dtype
+    # casts, dB conversion, complex split) runs per streamed piece inside
+    # _LazySource, never on the whole scene at once
+    raw_inc = _raw_data(inc)
+    raw_s0 = _raw_data(sigma0)
+    shape = tuple(np.shape(raw_s0))
 
     if sigma0_dual is None:
         # mono-pol: check pol compatibility when the input carries one
@@ -866,46 +1037,33 @@ def invert_from_model(
                 f"sigma0 pol is {pol}, and model {models[0].name} can only handle {model_pol}"
             )
         if models[0].iscopol:
-            np_s0_co, np_s0_cr = np_s0, np.full(shape, np.nan)
-            if ancillary_wind is None or not np.any(~np.isnan(_to_numpy(ancillary_wind))):
+            raw_s0_co, raw_s0_cr = raw_s0, None
+            if not _any_valid(ancillary_wind):
                 raise ValueError("copol inversion requires valid ancillary_wind")
         else:
-            np_s0_co, np_s0_cr = np.full(shape, np.nan), np_s0
-            if ancillary_wind is not None and not np.all(np.isnan(_to_numpy(ancillary_wind))):
+            raw_s0_co, raw_s0_cr = None, raw_s0
+            if _any_valid(ancillary_wind):
                 warnings.warn(
                     "crosspol inversion is best without ancillary wind, "
                     "but using it as requested."
                 )
             models = (None, models[0])
     else:
-        np_s0_co = np_s0
-        np_s0_cr = _to_numpy(sigma0_dual).astype(np.float64)
-
-    np_anc = (
-        _to_numpy(ancillary_wind).astype(np.complex128)
-        if ancillary_wind is not None
-        else np.full(shape, np.nan, dtype=np.complex128)
-    )
-    np_dsig_cr = np.broadcast_to(_to_numpy(dsig_cr).astype(np.float64), shape)
-
-    # to dB with epsilon clip (windspeed.py:126-130)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        s0_co_db = 10.0 * np.log10(np_s0_co + 1e-15)
-        s0_cr_db = 10.0 * np.log10(np_s0_cr + 1e-15)
+        raw_s0_co = raw_s0
+        raw_s0_cr = _raw_data(sigma0_dual)
 
     tables = prepare_tables(
         models[0], models[1], dtype=dtype, **kwargs
     )
 
-    wind_co, wind_dual = invert_pixels(
-        tables,
-        np_inc.reshape(-1),
-        s0_co_db.reshape(-1),
-        s0_cr_db.reshape(-1),
-        np_dsig_cr.reshape(-1),
-        np_anc.reshape(-1),
-        dsig_co=dsig_co,
-        mode=mode,
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    source = _LazySource(
+        shape, np_dtype, raw_inc,
+        s0_co=raw_s0_co, s0_cr=raw_s0_cr,
+        dsig_cr=_raw_data(dsig_cr), anc=_raw_data(ancillary_wind),
+    )
+    wind_co, wind_dual = _invert_source(
+        tables, source, dsig_co=dsig_co, mode=mode, piece_size=piece_size,
     )
     wind_co = wind_co.reshape(shape)
     wind_dual = wind_dual.reshape(shape)
@@ -937,10 +1095,15 @@ def invert_from_model(
             res.attrs["units"] = "m/s"
         return res
 
-    # dual-pol merge (windspeed.py:425-428)
-    merged = np.where(
-        (np.abs(wind_co) < 5) | (np.abs(wind_dual) < 5), wind_co, wind_dual
-    )
+    # dual-pol merge (windspeed.py:425-428): take copol where either speed
+    # < 5 m/s. In-place chunked over wind_dual — no third full-scene array.
+    co_f, du_f = wind_co.reshape(-1), wind_dual.reshape(-1)
+    for lo in range(0, co_f.shape[0], 1 << 22):
+        hi = min(lo + (1 << 22), co_f.shape[0])
+        co_c, du_c = co_f[lo:hi], du_f[lo:hi]
+        take_co = (np.abs(co_c) < 5) | (np.abs(du_c) < 5)
+        du_c[take_co] = co_c[take_co]
+    merged = wind_dual
     co_out = wrap(
         wind_co,
         f"wind speed and direction inverted from model {models[0].name} "
