@@ -1,0 +1,232 @@
+"""Stage-level timing of the fused pallas inversion pipeline (TPU).
+
+Rebuilds the production pipeline of
+``xsarsea_tpu.windspeed.inversion._make_pallas_invert_fn`` as separately
+jitted stages and times each with ``block_until_ready``, at the headline
+benchmark's 8.4 Mpx scale with the high-resolution cmod5n + s1_v2 LUTs.
+The breakdown feeds docs/DESIGN.md (VERDICT r2 item 4).
+
+Run manually: PYTHONPATH=/root/repo python scripts/bench_stages.py
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xsarsea_tpu.models import get_model
+from xsarsea_tpu.windspeed import inversion as inv
+from xsarsea_tpu.ops.pallas_inversion import (
+    CR_BLOCK, DEFAULT_BLOCK, SLAB_BLOCK, SLAB_MARGIN, WGROUP,
+    bucket_by_band, build_crosspol_arrays, build_direct_arrays,
+    copol_group_argmin_pallas, crosspol_argmin_pallas, nearest_index_sorted,
+    slab_refine_pallas,
+)
+
+N = 1 << 23
+REPS = 3
+
+
+def timed(name, fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(REPS):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / REPS
+    print(f"{name:34s} {dt * 1e3:8.1f} ms   {dt / N * 1e9:6.1f} ns/px")
+    return out, dt
+
+
+def main():
+    rng = np.random.default_rng(0)
+    inc_np = rng.uniform(18.0, 47.0, N)
+    wspd_np = rng.uniform(0.5, 45.0, N)
+    phi_np = rng.uniform(0.0, 360.0, N)
+    m_co = get_model("gmf_cmod5n")
+    m_cr = get_model("gmf_s1_v2")
+    tables = inv.prepare_tables(m_co, m_cr, dtype=jnp.float32)
+    s0_co_db = 10 * np.log10(
+        np.asarray(m_co(inc_np, wspd_np, phi_np, broadcast=True)) + 1e-15)
+    s0_cr_db = 10 * np.log10(
+        np.asarray(m_cr(inc_np, wspd_np, broadcast=True)) + 1e-15)
+    anc = (wspd_np + rng.normal(0, 1.5, N)).clip(0.2) * np.exp(
+        1j * np.deg2rad(phi_np))
+
+    dsig_co = 0.1
+    block = DEFAULT_BLOCK
+    dw, margin = inv._COARSE_DW, inv._FAST_MARGIN
+    step_w = float(np.median(np.diff(np.asarray(tables.co_wspd, np.float64))))
+    step_p = float(np.median(np.diff(np.asarray(tables.co_phi, np.float64))))
+    g4_dev, lut_shift, n_groups, gsize = inv._build_g4_grouped(
+        tables, dsig_co, stride_w=max(1, round(dw / step_w)),
+        stride_p=max(1, round(inv._COARSE_DPHI / step_p)), splits=2)
+    slab_rows = WGROUP + 2 * margin
+    lut_pad, u_pad, v_pad = (jnp.asarray(a) for a in build_direct_arrays(
+        np.asarray(tables.co_lut, np.float32),
+        np.asarray(tables.co_u, np.float32),
+        np.asarray(tables.co_v, np.float32)))
+    cr_pad_np, cr_whalf_np = build_crosspol_arrays(
+        np.asarray(tables.cr_lut, np.float32),
+        np.asarray(tables.cr_wspd, np.float32))
+    cr_pad, cr_whalf = jnp.asarray(cr_pad_np), jnp.asarray(cr_whalf_np)
+    n_inc = g4_dev.shape[0]
+    n_wspd = tables.co_wspd.shape[0]
+    n_phi = tables.co_phir.shape[0]
+    n_wgroups = (n_wspd + WGROUP - 1) // WGROUP
+    wp_rows = lut_pad.shape[1]
+    inv_dsig = 1.0 / dsig_co
+    co_inc = jnp.asarray(np.asarray(tables.co_inc, np.float64), jnp.float32)
+    co_wspd_d = jnp.asarray(tables.co_wspd)
+    co_phir_d = jnp.asarray(tables.co_phir)
+    cr_wspd_d = jnp.asarray(tables.cr_wspd)
+
+    inc = jnp.asarray(inc_np, jnp.float32)
+    s0co = jnp.asarray(s0_co_db, jnp.float32)
+    s0cr = jnp.asarray(s0_cr_db, jnp.float32)
+    dsig_cr = jnp.full((N,), 0.1, jnp.float32)
+    anc_re = jnp.asarray(anc.real, jnp.float32)
+    anc_im = jnp.asarray(anc.imag, jnp.float32)
+
+    print(f"pixels {N} | LUT (I,W,P)=({n_inc},{n_wspd},{n_phi}) | "
+          f"g4 {g4_dev.nbytes / 1e6:.0f} MB | lut_pad {lut_pad.nbytes / 1e6:.0f} MB | "
+          f"slab_rows {slab_rows}")
+
+    # --- stage 1a: incidence bucketing
+    @jax.jit
+    def s1_bucket(inc):
+        i_inc = nearest_index_sorted(co_inc, inc)
+        perm, band_of_block = bucket_by_band(i_inc, n_bands=n_inc, block=block)
+        return i_inc, perm, band_of_block
+
+    (i_inc, perm, band_of_block), t_b1 = timed("1a bucket by incidence", s1_bucket, inc)
+
+    # --- stage 1b: feature build + gather into bucket order
+    @jax.jit
+    def s1_feats(perm, s0co, anc_re, anc_im):
+        valid = perm >= 0
+        pidx = jnp.clip(perm, 0)
+        pix1 = jnp.stack([
+            (s0co * inv_dsig - lut_shift) * (-2.0),
+            anc_re * (-1.0), jnp.abs(anc_im) * (-1.0),
+            jnp.ones_like(s0co)], axis=1)
+        return jnp.where(valid[:, None], pix1[pidx], jnp.nan)
+
+    (feats,), t_f1 = timed("1b features + gather", lambda *a: (s1_feats(*a),),
+                           perm, s0co, anc_re, anc_im)
+
+    # --- stage 1c: expanded-form MXU group argmin
+    @jax.jit
+    def s1_kernel(g4, feats, band_of_block):
+        return copol_group_argmin_pallas(
+            g4, feats, band_of_block, n_groups=n_wgroups, gsize=gsize,
+            block=block).reshape(-1)
+
+    (gstar,), t_k1 = timed("1c MXU group-argmin kernel",
+                           lambda *a: (s1_kernel(*a),), g4_dev, feats,
+                           band_of_block)
+
+    # --- stage 2a: scatter + rebucket by (band, group)
+    @jax.jit
+    def s2_bucket(perm, gstar, i_inc):
+        valid = perm >= 0
+        g0 = jnp.zeros((N,), jnp.int32).at[
+            jnp.where(valid, perm, N)].set(gstar, mode="drop")
+        key = i_inc * n_wgroups + g0
+        perm2, key_of_block = bucket_by_band(
+            key, n_bands=n_inc * n_wgroups, block=SLAB_BLOCK)
+        return perm2, key_of_block
+
+    (perm2, key_of_block), t_b2 = timed("2a scatter + rebucket", s2_bucket,
+                                        perm, gstar, i_inc)
+
+    # --- stage 2b: slab features + refine kernel
+    @jax.jit
+    def s2_kernel(lut_pad, u_pad, v_pad, perm2, key_of_block, s0co, anc_re, anc_im):
+        valid2 = perm2 >= 0
+        pidx2 = jnp.clip(perm2, 0)
+        pix2 = jnp.stack([
+            s0co, anc_re * 0.5, jnp.abs(anc_im) * 0.5,
+            jnp.full((N,), np.float32(1.0 / dsig_co))], axis=1)
+        feats2 = jnp.where(valid2[:, None], pix2[pidx2], jnp.nan)
+        sband = key_of_block // n_wgroups
+        srow0 = jnp.clip((key_of_block % n_wgroups) * WGROUP - margin,
+                         0, wp_rows - slab_rows)
+        vmask2 = (perm2.reshape(-1, SLAB_BLOCK) >= 0).any(axis=1)
+        flat_r = slab_refine_pallas(
+            lut_pad, u_pad, v_pad, feats2, sband, srow0, n_phi,
+            block=SLAB_BLOCK, n_rows=slab_rows,
+            valid_mask=vmask2.astype(jnp.int32)).reshape(-1)
+        return flat_r
+
+    (flat_r,), t_k2 = timed("2b slab refine (feats+kernel)",
+                            lambda *a: (s2_kernel(*a),),
+                            lut_pad, u_pad, v_pad, perm2, key_of_block,
+                            s0co, anc_re, anc_im)
+
+    # --- stage 3: crosspol bucketed argmin (reuses stage-1 buckets)
+    @jax.jit
+    def s3_kernel(cr_pad, cr_whalf, perm, band_of_block, perm2, flat_r, s0co, s0cr, dsig_cr):
+        valid2 = perm2 >= 0
+        flat = jnp.zeros((N,), jnp.int32).at[
+            jnp.where(valid2, perm2, N)].set(flat_r, mode="drop")
+        flat = jnp.clip(flat, 0, n_wspd * n_phi - 1)
+        iw = flat // n_phi
+        wspd_co_raw = co_wspd_d[iw]
+        co_valid = ~jnp.isnan(s0co)
+        wspd_co_m = jnp.where(co_valid, wspd_co_raw, jnp.nan)
+        has_co_f = (~jnp.isnan(wspd_co_m)).astype(jnp.float32)
+        valid3 = perm >= 0
+        pidx3 = jnp.clip(perm, 0)
+        pix3 = jnp.stack([
+            s0cr, dsig_cr,
+            jnp.where(has_co_f > 0, wspd_co_m, 0.0) * 0.5, has_co_f], axis=1)
+        feats3 = jnp.where(valid3[:, None], pix3[pidx3], jnp.nan)
+        iwcr_r = crosspol_argmin_pallas(cr_pad, cr_whalf, feats3,
+                                        band_of_block, block=CR_BLOCK)
+        return flat, iwcr_r.reshape(-1)
+
+    (flat, iwcr_r), t_k3 = timed("3  crosspol argmin (+decode)", s3_kernel,
+                                 cr_pad, cr_whalf, perm, band_of_block,
+                                 perm2, flat_r, s0co, s0cr, dsig_cr)
+
+    # --- stage 4: postprocess (phi disambiguation, guards)
+    @jax.jit
+    def s4_post(flat, iwcr_r, perm, inc, s0co, s0cr, dsig_cr, anc_re, anc_im):
+        valid3 = perm >= 0
+        iwcr = jnp.zeros((N,), jnp.int32).at[
+            jnp.where(valid3, perm, N)].set(iwcr_r, mode="drop")
+        wspd_dual = cr_wspd_d[jnp.clip(iwcr, 0, cr_wspd_d.shape[0] - 1)]
+        iw, ip = flat // n_phi, flat % n_phi
+        wspd_co_raw = co_wspd_d[iw]
+        phir_raw = co_phir_d[ip]
+
+        def one_pixel(inc_p, s0_p, s0cr_p, dsigcr_p, are_p, aim_p,
+                      wco_p, phir_p, wdual_p):
+            phi_co = inv._disambiguate_phi(tables, phir_p, are_p, aim_p)
+            return inv._postprocess_pixel(tables, inc_p, s0_p, s0cr_p,
+                                          dsigcr_p, are_p, aim_p, wco_p,
+                                          phi_co, wspd_dual=wdual_p)
+
+        return jax.vmap(one_pixel)(inc, s0co, s0cr, dsig_cr, anc_re, anc_im,
+                                   wspd_co_raw, phir_raw, wspd_dual)
+
+    _, t_p = timed("4  postprocess vmap", s4_post, flat, iwcr_r, perm, inc,
+                   s0co, s0cr, dsig_cr, anc_re, anc_im)
+
+    total = t_b1 + t_f1 + t_k1 + t_b2 + t_k2 + t_k3 + t_p
+    print(f"{'sum of stages':34s} {total * 1e3:8.1f} ms   "
+          f"{total / N * 1e9:6.1f} ns/px  -> {N / total / 1e6:.2f} Mpx/s")
+
+    # fused production pipeline for comparison
+    fn = inv._get_invert_fn(tables, 8192, mode="pallas", dsig_co=dsig_co)
+    args = (inc, s0co, s0cr, dsig_cr, anc_re, anc_im,
+            jnp.asarray(0.1, jnp.float32))
+    _, t_full = timed("fused production pipeline", lambda: (fn(*args),))
+    timed("1a bucket (re-measure)", s1_bucket, inc)
+
+
+if __name__ == "__main__":
+    main()

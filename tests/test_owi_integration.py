@@ -113,3 +113,24 @@ def test_owi_read_compose_invert(owi_file):
     m = np.isfinite(dual_speed)
     rms = np.sqrt(np.mean((dual_speed[m] - true_speed[m]) ** 2))
     assert rms < 1.0, f"dual-pol retrieval RMS {rms}"
+
+
+def test_owi_reader_returns_dataset_with_xarray(owi_file, monkeypatch):
+    """With xarray importable, read_sarwing_owi returns an xr.Dataset
+    (reference detrend.py:71-93 parity); dict fallback otherwise."""
+    import sys
+    import types
+
+    import _xr_stub
+
+    stub = types.ModuleType("xarray")
+    stub.DataArray = _xr_stub.DataArray
+    stub.Dataset = _xr_stub.Dataset
+    monkeypatch.setitem(sys.modules, "xarray", stub)
+
+    path, _ = owi_file
+    ds = read_sarwing_owi(path)
+    assert isinstance(ds, _xr_stub.Dataset)
+    assert "owiNrcs" in ds and "owiWindSpeed_Tab_dualpol_2steps" in ds
+    assert ds["owiNrcs"].dims == ("line", "sample")
+    assert "owiCalConstObsi" not in ds

@@ -201,3 +201,43 @@ def test_pallas_differing_crosspol_incidence_grid():
         m = ~np.isnan(np.abs(ref))
         np.testing.assert_array_equal(np.isnan(np.abs(got)), ~m)
         np.testing.assert_array_equal(got[m], ref[m])
+
+
+def test_near_uniform_fit_accepts_f32_cast_grids():
+    """f32-cast linspace/arange coords (ulp step jitter) MUST take the
+    fast path — the exact-step check silently demoted the whole TPU
+    pipeline to binary search (round-3 stage profiling found ~75 ns/px)."""
+    from xsarsea_tpu.ops.pallas_inversion import near_uniform_fit
+
+    g64 = np.arange(16.0, 66.0 + 0.1, 0.1)
+    g32 = g64.astype(np.float32).astype(np.float64)
+    assert near_uniform_fit(g64) is not None
+    assert near_uniform_fit(g32) is not None, "f32 ulp jitter rejected"
+    # genuinely non-uniform grid is rejected
+    bent = g64.copy()
+    bent[10] += 0.06  # > 0.4 * step
+    assert near_uniform_fit(bent) is None
+    assert near_uniform_fit(np.array([3.0])) is None
+    assert near_uniform_fit(np.array([1.0, 1.0])) is None
+
+
+def test_nearest_index_true_grid_compare():
+    """nearest_index_sorted matches np.argmin(|grid - v|) on the TRUE
+    grid values — first-minimum tie rule included — on both the
+    near-uniform fast path and the binary-search fallback."""
+    from xsarsea_tpu.ops.pallas_inversion import nearest_index_sorted
+
+    rng = np.random.default_rng(11)
+    for grid in (
+        np.arange(16.0, 66.0 + 0.1, 0.1).astype(np.float32),  # fast path
+        np.sort(rng.uniform(16.0, 66.0, 73)).astype(np.float32),  # search
+    ):
+        vals = rng.uniform(14.0, 68.0, 4096).astype(np.float32)
+        # exact midpoints (engineered ties -> lower index must win)
+        mids = ((grid[:-1] + grid[1:]) / 2).astype(np.float32)
+        vals = np.concatenate([vals, mids, grid.copy(), [np.nan]])
+        got = np.asarray(nearest_index_sorted(jnp.asarray(grid),
+                                              jnp.asarray(vals)))
+        exp = np.argmin(np.abs(grid[None, :] - vals[:, None]), axis=1)
+        exp[np.isnan(vals)] = 0
+        np.testing.assert_array_equal(got, exp)

@@ -101,13 +101,13 @@ def sigma0_detrend(
 
 
 def read_sarwing_owi(owi_file):
-    """Read a sarwing OWI netCDF file into a dict of DimArrays.
+    """Read a sarwing OWI netCDF file.
 
-    Counterpart of the reference ``read_sarwing_owi`` (detrend.py:71-93),
-    which returns an xarray Dataset; here a plain ``dict`` keyed by variable
-    name, each value a DimArray over ('line', 'sample'), with the
-    ``owiInversionTables_UV`` group merged in and line/sample coordinates
-    assigned.
+    Counterpart of the reference ``read_sarwing_owi`` (detrend.py:71-93):
+    with xarray installed, returns an ``xr.Dataset`` (reference parity);
+    otherwise a plain ``dict`` keyed by variable name. Each variable is
+    2-D over ('line', 'sample'), with the ``owiInversionTables_UV`` group
+    merged in and line/sample coordinates assigned.
     """
     import h5py
 
@@ -134,4 +134,12 @@ def read_sarwing_owi(owi_file):
         load_group(f)
         if "owiInversionTables_UV" in f:
             load_group(f["owiInversionTables_UV"])
-    return out
+
+    try:  # reference parity: an xr.Dataset when xarray is available
+        import xarray as xr
+    except ImportError:
+        return out
+    from xsarsea_tpu.interop import to_dataset
+
+    ds = to_dataset(out, xr.DataArray)
+    return ds if ds is not None else out

@@ -438,19 +438,29 @@ def _build_g4_grouped(tables: InversionTables, dsig_co,
 
 # coarse-grid spacing for the default pallas mode's first pass, in
 # physical units: ~0.2 m/s in wspd (bounds the coarse argmin's wspd drift
-# to ~1 row) and ~8 deg in phi (phi drift is irrelevant — the slab refine
-# re-searches ALL phi at the chosen wspd slab)
+# to ~1 row) and ~4 deg in phi. The refine margin is driven mainly by the
+# coarse PHI spacing (a wrong-phi sample can favor a distant wspd group),
+# so a finer phi grid buys a much smaller slab: round-3 sweep on 4M
+# random pixels vs the full-grid pass (scripts/sweep_margin.py, high-res
+# LUTs, one v5e):
+#
+#   dphi=8 margin=24 (round-2 default): 4.83 Mpx/s, 2.4e-7 tie-class flips
+#   dphi=8 margin=16:                   5.24 Mpx/s, 1.0e-4 real flips
+#   dphi=4 margin=16 (this default):    5.10 Mpx/s, 1.2e-7 tie-class flips
+#   dphi=4 margin=8  (pallas_fast):     5.55 Mpx/s, 5.4e-4 flips
+#                                       (max dev 0.9 m/s co / 0.1 dual)
+#
+# "tie-class" = deviations only where two grid cells attain EXACTLY equal
+# f32 cost (any windowed refine tie-breaks those by window placement;
+# deviation is then at most one wspd step). The margin must stay a
+# multiple of 8: srow0 = g*WGROUP - margin feeds 8-aligned sublane loads.
 _COARSE_DW = 0.2
-_COARSE_DPHI = 8.0
-# slab margin absorbing coarse-sampling drift on top of the expanded-form
-# bf16 jitter. Measured on 1M random pixels vs the full-grid pass
-# (2026-08 sweep, high-res LUTs): margin 24 @ dw 0.2 -> 0 flips (exact);
-# 16 @ 0.2 -> 9e-5 flipped to an adjacent wspd row; 8 @ dw 0.1 -> 5e-3
-# flipped, max speed deviation one wspd step (0.1 m/s), +34% throughput.
-_FAST_MARGIN = 24
-# 'pallas_fast': full-wspd coarse sampling with a slim margin — trades
-# <=1 wspd-step deviations on <1% of pixels for ~1.3x throughput
-_TURBO_DW = 0.1
+_COARSE_DPHI = 4.0
+_FAST_MARGIN = 16
+# 'pallas_fast': same coarse grid, slim margin — deviates on <0.1% of
+# pixels (typically one wspd step; worst observed 0.9 m/s copol / 0.1
+# dual on 4M random pixels) for ~1.1x throughput
+_TURBO_DW = 0.2
 _TURBO_MARGIN = 8
 
 
@@ -508,7 +518,12 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
     n_wgroups = (n_wspd + WGROUP - 1) // WGROUP
     assert n_wgroups == n_groups_g4
     wp_rows = lut_pad.shape[1]
-    inv_dsig = 1.0 / float(dsig_co_val)
+    # per-table scalars enter the jit as a runtime operand, NOT trace-time
+    # constants: the compiled executable is then shared across LUT tables
+    # of the same grid shape (e.g. cmod5n vs cmod7 high-res), turning a
+    # minutes-scale Mosaic recompile into a cache hit.
+    scal_dev = jnp.asarray([1.0 / float(dsig_co_val), float(lut_shift)],
+                           jnp.float32)
 
     # incidence nearest-index: nearest_index_sorted dispatches concrete
     # uniform grids (the common case) to the gather-free arithmetic path
@@ -542,10 +557,11 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         cr_pad = jnp.zeros((1, 1, 128), jnp.float32)
         cr_whalf = jnp.zeros((1, 128), jnp.float32)
 
-    def invert_flat(tables, g4, lut_pad, u_pad, v_pad, cr_pad, cr_whalf,
+    def invert_flat(tables, g4, lut_pad, u_pad, v_pad, cr_pad, cr_whalf, scal,
                     inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im, dsig_co):
         n = inc.shape[0]
         f32 = jnp.float32
+        inv_dsig, lut_shift = scal[0], scal[1]
 
         # --- stage 1: bucket by incidence band, expanded-form group argmin
         i_inc = nearest_inc(inc)
@@ -679,7 +695,7 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         jitted = jax.jit(jax.shard_map(
             invert_flat,
             mesh=mesh,
-            in_specs=(_P(),) * 7 + (_P(data_axis),) * 6 + (_P(),),
+            in_specs=(_P(),) * 8 + (_P(data_axis),) * 6 + (_P(),),
             out_specs=(_P(data_axis),) * 4,
             # pallas_call outputs don't carry vma annotations
             check_vma=False,
@@ -688,7 +704,7 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
 
     def run(*args):
         return jitted(tables_slim, g4_dev, lut_pad, u_pad, v_pad,
-                      cr_pad, cr_whalf, *args)
+                      cr_pad, cr_whalf, scal_dev, *args)
 
     return run
 
@@ -923,9 +939,10 @@ def invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
 
     mode: 'exact' (portable full-grid argmin), 'pallas' (fused TPU
     kernels: coarse expanded-form pass + direct-form slab refine +
-    bucketed crosspol argmin; matches the full grid exactly),
-    'pallas_fast' (slimmer coarse pass: ~1.3x faster, deviates by at
-    most one wspd step on <1% of pixels), 'pallas_exact' (full-grid
+    bucketed crosspol argmin; matches the full grid up to O(1e-7)
+    exact-cost-tie pixels — see the sweep table above _COARSE_DW),
+    'pallas_fast' (slim refine margin: ~1.1x faster, deviates on <0.1%
+    of pixels — see _TURBO_MARGIN), 'pallas_exact' (full-grid
     expanded-form pass + slab refine), '*_interpret' variants (kernels
     in interpreter mode, for CPU testing), or 'auto' (pallas on TPU when
     a copol table is present, exact elsewhere).
