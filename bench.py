@@ -17,6 +17,27 @@ import numpy as np
 
 BASELINE_RATE = 2.5  # Mpx/s/chip: 1e8 px in 5 s on 8 chips (BASELINE.json)
 
+_drain_fn = None
+
+
+def drain(out):
+    """Force completion of all queued device work feeding ``out``.
+
+    On the axon dev-tunnel plugin, ``jax.block_until_ready`` can return
+    before queued executions finish (measured: a 5-rep matmul chain
+    "blocked" in 0.3 ms, then a 4-byte readback took the full compute
+    time) — so every timing loop here drains through a tiny
+    data-dependent device->host readback instead.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    global _drain_fn
+    if _drain_fn is None:
+        _drain_fn = jax.jit(lambda t: jnp.ravel(t)[:1])
+    leaves = jax.tree_util.tree_leaves(out)
+    return np.asarray(_drain_fn(leaves[-1]))
+
 
 def bench_streaks():
     """Wind-streak histogram pipeline rate (BASELINE config #4).
@@ -51,12 +72,12 @@ def bench_streaks():
     cl = jnp.asarray(centers)
     bins_d = jnp.asarray(bins)
     out = fn(img_d, centers_l=cl, centers_s=cl, angles_bins=bins_d)
-    jax.block_until_ready(out)
+    drain(out)
     reps = 3
     t0 = time.time()
     for _ in range(reps):
         out = fn(img_d, centers_l=cl, centers_s=cl, angles_bins=bins_d)
-    jax.block_until_ready(out)
+    drain(out)
     return ny * nx * reps / (time.time() - t0) / 1e6
 
 
@@ -91,7 +112,7 @@ def bench_gradients_class():
         g = Gradients(da, windows_sizes=[1600, 3200],
                       downscales_factors=[1, 2])
         h = g.histogram
-        jax.block_until_ready(h["weight"].data)
+        drain(h["weight"].data)
         return h
 
     run()  # compile
@@ -181,7 +202,7 @@ def main():
     for _ in range(3):
         t0 = time.time()
         co_d, dual_d = invert_pixels(*args, mode=mode, device_output=True)
-        jax.block_until_ready((co_d, dual_d))
+        drain((co_d, dual_d))
         e2e_mpx_s = max(e2e_mpx_s, n / (time.time() - t0) / 1e6)
         del co_d, dual_d
 
@@ -199,12 +220,12 @@ def main():
            (inc, s0_co_db, s0_cr_db, dsig_cr, anc.real, anc.imag)]
     dev.append(jnp.asarray(0.1, jnp.float32))
     out = fn(*dev)
-    jax.block_until_ready(out)
+    drain(out)
     reps = 3
     t0 = time.time()
     for _ in range(reps):
         out = fn(*dev)
-    jax.block_until_ready(out)
+    drain(out)
     mpx_s = n * reps / (time.time() - t0) / 1e6
 
     # pallas_fast: <=1 wspd-step deviation on <1% pixels, ~1.2-1.3x faster
@@ -212,11 +233,11 @@ def main():
     if mode == "pallas":
         fn_fast = _get_invert_fn(tables, 8192, mode="pallas_fast", dsig_co=0.1)
         out = fn_fast(*dev)
-        jax.block_until_ready(out)
+        drain(out)
         t0 = time.time()
         for _ in range(reps):
             out = fn_fast(*dev)
-        jax.block_until_ready(out)
+        drain(out)
         fast_mpx_s = round(n * reps / (time.time() - t0) / 1e6, 3)
 
     # CMOD7 high-res-LUT variant (BASELINE config #5): same grid shapes,
@@ -232,11 +253,11 @@ def main():
                                  inc_step=0.1, wspd_step=0.1, phi_step=1.0)
         fn7 = _get_invert_fn(tables7, 8192, mode="pallas", dsig_co=0.1)
         out = fn7(*dev)
-        jax.block_until_ready(out)
+        drain(out)
         t0 = time.time()
         for _ in range(reps):
             out = fn7(*dev)
-        jax.block_until_ready(out)
+        drain(out)
         cmod7_mpx_s = round(n * reps / (time.time() - t0) / 1e6, 3)
 
     # host prep rate of the streamed public-API path (piece slicing, f64

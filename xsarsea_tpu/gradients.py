@@ -197,8 +197,15 @@ def _streaks_lg(img):
 
 #: one fused XLA program per image shape, batched over the pol axis —
 #: the multiscale Gradients fan-out calls this once per resolution level
-#: instead of re-running the conv pipeline per (pol, window_size) combo
-_streaks_lg_batched = jax.jit(jax.vmap(_streaks_lg))
+#: instead of re-running the conv pipeline per (pol, window_size) combo.
+#: The stack happens INSIDE the jit: on remote-tunnel TPU backends every
+#: eager op dispatch costs ~100+ ms, so the fan-out avoids them entirely.
+@jax.jit
+def _streaks_lg_batched(*imgs):
+    return jax.vmap(_streaks_lg)(jnp.stack(imgs))
+
+
+_resize_area_jit = jax.jit(resize_area, static_argnums=1)
 
 
 def _r2_coord(c):
@@ -322,6 +329,16 @@ def _extract_windows(arr, centers_l, centers_s, pad_before, window):
     ll, ss = jnp.meshgrid(cl, cs, indexing="ij")
     wins = jax.vmap(one)(ll.reshape(-1), ss.reshape(-1))
     return wins.reshape(len(centers_l) * len(centers_s), window * window)
+
+
+@partial(jax.jit, static_argnames=("window",))
+def _windows_hist_fused(g2_abs, g2_angle, c, centers_l, centers_s, window,
+                        angles_bins):
+    """Window extraction + histogram in ONE program (one dispatch/combo)."""
+    abs_w = _extract_windows(g2_abs, centers_l, centers_s, window, window)
+    ang_w = _extract_windows(g2_angle, centers_l, centers_s, window, window)
+    c_w = _extract_windows(c, centers_l, centers_s, window, window)
+    return _histogram_windows(abs_w, ang_w, c_w, angles_bins)
 
 
 def streaks_histogram_core(img, centers_l, centers_s, window, angles_bins):
@@ -457,10 +474,9 @@ class Gradients2D:
 
         cl = jnp.asarray(cl.astype(np.int32))
         cs = jnp.asarray(cs.astype(np.int32))
-        abs_w = _extract_windows(jnp.asarray(g2.data), cl, cs, win, win)
-        ang_w = _extract_windows(jnp.asarray(g2_ang.data), cl, cs, win, win)
-        c_w = _extract_windows(jnp.asarray(c.data), cl, cs, win, win)
-        hist, ratio = _histogram_windows(abs_w, ang_w, c_w, jnp.asarray(angles_bins))
+        hist, ratio = _windows_hist_fused(
+            jnp.asarray(g2.data), jnp.asarray(g2_ang.data),
+            jnp.asarray(c.data), cl, cs, win, jnp.asarray(angles_bins))
 
         nl, ns = len(cl), len(cs)
         coords = {"line": np.asarray(at["line"]), "sample": np.asarray(at["sample"]),
@@ -565,8 +581,8 @@ class Gradients:
         for s0, group in self._lg_groups:
             by_shape[tuple(s0.shape)].append((s0, group))
         for entries in by_shape.values():
-            imgs = jnp.stack([jnp.asarray(s0.data) for s0, _ in entries])
-            abs_b, ang_b, c_b = _streaks_lg_batched(imgs)
+            abs_b, ang_b, c_b = _streaks_lg_batched(
+                *(jnp.asarray(s0.data) for s0, _ in entries))
             for k, (s0, group) in enumerate(entries):
                 coords = {kk: vv for kk, vv in s0.coords.items()
                           if kk not in ("line", "sample")}
@@ -615,7 +631,9 @@ class Gradients:
         if factor == 1:
             return sigma0
         target = (sigma0.sizes["line"] // factor, sigma0.sizes["sample"] // factor)
-        data = resize_area(jnp.asarray(sigma0.data), target)
+        # jitted (static target): eager op dispatch costs ~100+ ms each on
+        # remote-tunnel TPU backends
+        data = _resize_area_jit(jnp.asarray(sigma0.data), target)
 
         def blocked_mean(c):
             c = np.asarray(c, dtype=np.float64)
