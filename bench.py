@@ -276,7 +276,7 @@ def main():
     host_prep_mpx_s = n / (time.time() - t0) / 1e6
 
     # close the parity chain ON THIS DEVICE: fused pallas pipeline vs the
-    # portable exact XLA path on a 256k-px subsample (expected: identical)
+    # portable exact XLA path on a 64k-px subsample (expected: identical)
     pallas_vs_exact_max_dev = None
     if mode == "pallas":
         ns = 1 << 16  # the exact path per-pixel-gathers ~360 KB of LUT

@@ -2,7 +2,7 @@
 
 Rebuilds the production pipeline of
 ``xsarsea_tpu.windspeed.inversion._make_pallas_invert_fn`` as separately
-jitted stages and times each with ``block_until_ready``, at the headline
+jitted stages and times each with a data-dependent readback drain, at the headline
 benchmark's 8.4 Mpx scale with the high-resolution cmod5n + s1_v2 LUTs.
 The breakdown feeds docs/DESIGN.md (VERDICT r2 item 4).
 
@@ -29,12 +29,15 @@ REPS = 3
 
 
 def timed(name, fn, *args):
+    from bench import drain  # data-dependent readback: block_until_ready
+    # can return early on the dev-tunnel plugin (see bench.drain)
+
     out = fn(*args)
-    jax.block_until_ready(out)
+    drain(out)
     t0 = time.time()
     for _ in range(REPS):
         out = fn(*args)
-    jax.block_until_ready(out)
+    drain(out)
     dt = (time.time() - t0) / REPS
     print(f"{name:34s} {dt * 1e3:8.1f} ms   {dt / N * 1e9:6.1f} ns/px")
     return out, dt

@@ -42,13 +42,16 @@ def main():
            (inc, s0_co_db, s0_cr_db, np.full(N, 0.1), anc.real, anc.imag)]
     dsig = jnp.asarray(0.1, jnp.float32)
 
+    from bench import drain  # honest sync: block_until_ready can return
+    # early on the dev-tunnel plugin (see bench.drain)
+
     def run(fn, reps=2):
         out = fn(*dev, dsig)
-        jax.block_until_ready(out)
+        drain(out)
         t0 = time.time()
         for _ in range(reps):
             out = fn(*dev, dsig)
-        jax.block_until_ready(out)
+        drain(out)
         return out, N * reps / (time.time() - t0) / 1e6
 
     # ground truth: full-grid expanded pass + slab refine

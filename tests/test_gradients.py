@@ -491,3 +491,15 @@ def test_window_stepping_noninteger_coord_ratio():
                                rtol=1e-7, atol=1e-10)
     np.testing.assert_allclose(np.asarray(ds["used_ratio"].data), r_exp,
                                rtol=1e-7, atol=1e-12)
+
+
+def test_gradients_without_spatial_coords():
+    """A DimArray lacking line/sample coords gets arange coords filled
+    (regressed in the round-3 batched fan-out, caught in review)."""
+    img = streak_image(128, 128)
+    da = DimArray(np.stack([img, img * 0.5]), dims=("pol", "line", "sample"),
+                  coords={"pol": np.array(["VV", "VH"])})
+    g = Gradients(da, windows_sizes=[40], downscales_factors=[1])
+    h = g.histogram
+    assert h["weight"].dims[-1] == "angles"
+    assert np.isfinite(np.asarray(h["weight"].data)).all()

@@ -70,8 +70,10 @@ def test_owi_read_compose_invert(owi_file):
     assert "owiWindSpeed_Tab_dualpol_2steps" in ds  # group merged in
     for k in ("owiIncidenceAngle", "owiNrcs", "owiNrcs_cross",
               "owiNesz_cross"):
-        assert isinstance(ds[k], DimArray)
-        assert ds[k].dims == ("line", "sample")
+        # container is an xr.Dataset when xarray is installed, a dict of
+        # DimArrays otherwise — assert the shared protocol, not the class
+        assert tuple(ds[k].dims) == ("line", "sample")
+        assert np.asarray(ds[k].data).ndim == 2
 
     # ancillary wind in antenna convention (test_xsarsea.py:87-88)
     anc = np.asarray(ds["owiEcmwfWindSpeed"].data) * np.exp(

@@ -186,3 +186,16 @@ def test_scalar_dsig_and_mono_pol_lazy():
             dsig_cr=0.3, model="gmf_s1_v2", mode="exact",
             piece_size=512, **KW)
     np.testing.assert_array_equal(speed_lz, speed_ref)
+
+
+def test_scalar_pixel_inputs():
+    """0-d / python-scalar inputs through the public API (single-pixel
+    query — regressed in the round-3 lazy rework, caught in review)."""
+    co = invert_from_model(35.0, 0.0545, ancillary_wind=8 + 4j,
+                           model="gmf_cmod5n", mode="exact", **KW)
+    co_arr = invert_from_model(np.float64(35.0), np.float64(0.0545),
+                               ancillary_wind=np.complex128(8 + 4j),
+                               model="gmf_cmod5n", mode="exact", **KW)
+    assert np.shape(co) == ()
+    assert np.isfinite(np.abs(co)) and np.abs(co) > 0
+    np.testing.assert_array_equal(co, co_arr)

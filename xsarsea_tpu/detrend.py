@@ -14,7 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from xsarsea_tpu.dimarray import DimArray
+from xsarsea_tpu.dimarray import DimArray, is_chunked
 from xsarsea_tpu.interop import xarray_io
 from xsarsea_tpu.models.base import get_model
 from xsarsea_tpu.utils import logger, timing
@@ -48,16 +48,11 @@ def sigma0_detrend(
     raw_s0 = sigma0.data if is_dimarray else sigma0
     raw_inc = inc_angle.data if isinstance(inc_angle, DimArray) else inc_angle
 
-    def _is_lazy(a):
-        # dask/zarr protocol: .chunks attribute + numpy-style slicing
-        return (hasattr(a, "chunks")
-                and not isinstance(a, (np.ndarray, jax.Array)))
-
     # only the FIRST line of incidence feeds the GMF (detrend.py:55);
     # lazy inputs materialize that one row
-    inc_row_np = np.asarray(raw_inc[0:1])[0] if _is_lazy(raw_inc) \
+    inc_row_np = np.asarray(raw_inc[0:1])[0] if is_chunked(raw_inc) \
         else np.asarray(raw_inc)[0]
-    lazy = _is_lazy(raw_s0)
+    lazy = is_chunked(raw_s0)
 
     gmf_fn = model._jit_broadcast if hasattr(model, "_jit_broadcast") else None
 

@@ -20,11 +20,33 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["DimArray", "DimDataset"]
+__all__ = ["DimArray", "DimDataset", "is_chunked", "blocked_coord_mean"]
 
 
 def _as_index_array(c):
     return np.asarray(c)
+
+
+def is_chunked(obj):
+    """True for dask/zarr-style lazy chunked arrays.
+
+    The protocol the whole package keys out-of-core behavior on: a
+    ``.chunks`` attribute plus ``.ndim``/numpy-style first-axis slicing,
+    and NOT an in-memory numpy/jax array. Single source of truth — used
+    by DimArray's constructor, the xarray interop layer, the streamed
+    inversion source and the detrend row streamer.
+    """
+    return (hasattr(obj, "chunks") and hasattr(obj, "ndim")
+            and not isinstance(obj, (np.ndarray, jax.Array)))
+
+
+def blocked_coord_mean(c, f=2):
+    """Block-mean a 1-D coordinate: trim to a multiple of ``f``, average
+    per block (the coarsen/R2/INTER_AREA coordinate rule — one shared
+    implementation so injected and recomputed coords stay bit-identical)."""
+    c = np.asarray(c, dtype=np.float64)
+    n = (len(c) // f) * f
+    return c[:n].reshape(-1, f).mean(axis=1)
 
 
 class _CoordsAux:
@@ -66,10 +88,10 @@ class DimArray:
             name = name or data.name
             data = data.data
         if not (isinstance(data, jax.Array) or isinstance(data, np.ndarray)):
-            # chunked/lazy duck arrays (dask/zarr convention: a .chunks
-            # attribute plus numpy-style slicing) are stored as-is so
-            # out-of-core pipelines stay lazy; anything else is coerced
-            if not (hasattr(data, "chunks") and hasattr(data, "ndim")):
+            # chunked/lazy duck arrays (dask/zarr convention, is_chunked)
+            # are stored as-is so out-of-core pipelines stay lazy;
+            # anything else is coerced
+            if not is_chunked(data):
                 data = np.asarray(data)
         ndim = data.ndim
         if dims is None:
@@ -374,8 +396,7 @@ class DimArray:
             new_shape = data.shape[:ax] + (n // f, f) + data.shape[ax + 1:]
             data = xp.mean(data.reshape(new_shape), axis=ax + 1)
             if dim in coords:
-                c = np.asarray(coords[dim][:n], dtype=np.float64)
-                coords[dim] = c.reshape(-1, f).mean(axis=1)
+                coords[dim] = blocked_coord_mean(coords[dim], f)
         return DimArray(data, dims=self.dims, coords=coords, attrs=self.attrs, name=self.name)
 
     def pad(self, pad_widths, mode="wrap"):

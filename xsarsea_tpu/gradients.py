@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from xsarsea_tpu.dimarray import DimArray, DimDataset
+from xsarsea_tpu.dimarray import DimArray, DimDataset, blocked_coord_mean
 from xsarsea_tpu.interop import is_dataarray_like, to_dataset, to_dimarray
 from xsarsea_tpu.ops.conv2d import (
     B2_KERNEL,
@@ -209,11 +209,9 @@ _resize_area_jit = jax.jit(resize_area, static_argnums=1)
 
 
 def _r2_coord(c):
-    """Coordinate of one R2 reduction: trim to even, mean per pair
-    (mirrors DimArray.coarsen_mean's coord math, gradients.py:714)."""
-    c = np.asarray(c, dtype=np.float64)
-    n = (len(c) // 2) * 2
-    return c[:n].reshape(-1, 2).mean(axis=1)
+    """Coordinate of one R2 reduction (the shared coarsen rule, so the
+    injected _lg_hist coords are bit-identical to the fallback path's)."""
+    return blocked_coord_mean(c, 2)
 
 
 def local_gradients(image):
@@ -534,7 +532,10 @@ class Gradients:
     def __init__(self, sigma0, windows_sizes=[1600], downscales_factors=[1],
                  window_step=1):
         self._da_cls = type(sigma0) if is_dataarray_like(sigma0) else None
-        sigma0 = _as_da(sigma0) if not isinstance(sigma0, DimArray) else sigma0
+        # always through _as_da: it fills missing dim coords with arange
+        # (a DimArray without line/sample coords must work too)
+        sigma0 = _as_da(sigma0, dims=("pol", "line", "sample")
+                        if getattr(sigma0, "ndim", 2) == 3 else ("line", "sample"))
         self._drop_pol = False
         if "pol" not in sigma0.dims:
             sigma0 = sigma0.expand_dims("pol")
@@ -635,15 +636,10 @@ class Gradients:
         # remote-tunnel TPU backends
         data = _resize_area_jit(jnp.asarray(sigma0.data), target)
 
-        def blocked_mean(c):
-            c = np.asarray(c, dtype=np.float64)
-            n = (len(c) // factor) * factor
-            return c[:n].reshape(-1, factor).mean(axis=1)
-
         coords = {k: v for k, v in sigma0.coords.items()
                   if k not in ("line", "sample")}
-        coords["line"] = blocked_mean(sigma0.coords["line"])
-        coords["sample"] = blocked_mean(sigma0.coords["sample"])
+        coords["line"] = blocked_coord_mean(sigma0.coords["line"], factor)
+        coords["sample"] = blocked_coord_mean(sigma0.coords["sample"], factor)
         out = DimArray(data, dims=("line", "sample"), coords=coords,
                        attrs=sigma0.attrs)
         return out.assign_coords(downscale_factor=np.asarray(factor))

@@ -22,7 +22,7 @@ import functools
 
 import numpy as np
 
-from xsarsea_tpu.dimarray import DimArray
+from xsarsea_tpu.dimarray import DimArray, is_chunked
 
 __all__ = ["is_dataarray_like", "to_dimarray", "to_dataarray", "xarray_io"]
 
@@ -55,11 +55,9 @@ def to_dimarray(da) -> DimArray:
     dims = tuple(da.dims)
     # chunked (dask-backed) DataArrays keep their lazy array: ``.values``
     # would materialize the whole scene, defeating out-of-core execution
-    # (reference dask path: windspeed.py:345-367). DimArray stores duck
-    # arrays with a .chunks attribute as-is.
+    # (reference dask path: windspeed.py:345-367).
     data = getattr(da, "data", None)
-    if not (data is not None and hasattr(data, "chunks")
-            and hasattr(data, "ndim")):
+    if not is_chunked(data):
         data = np.asarray(da.values)
     shape = tuple(np.shape(data))
     coords = {}

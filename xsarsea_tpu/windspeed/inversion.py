@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from xsarsea_tpu.dimarray import DimArray
+from xsarsea_tpu.dimarray import DimArray, is_chunked
 from xsarsea_tpu.interop import xarray_io
 from xsarsea_tpu.models.base import get_model
 from xsarsea_tpu.utils import timing
@@ -444,10 +444,10 @@ def _build_g4_grouped(tables: InversionTables, dsig_co,
 # random pixels vs the full-grid pass (scripts/sweep_margin.py, high-res
 # LUTs, one v5e):
 #
-#   dphi=8 margin=24 (round-2 default): 4.83 Mpx/s, 2.4e-7 tie-class flips
-#   dphi=8 margin=16:                   5.24 Mpx/s, 1.0e-4 real flips
-#   dphi=4 margin=16 (this default):    5.10 Mpx/s, 1.2e-7 tie-class flips
-#   dphi=4 margin=8  (pallas_fast):     5.55 Mpx/s, 5.4e-4 flips
+#   dphi=8 margin=24 (round-2 default): ~4.7 Mpx/s, 2.4e-7 tie-class flips
+#   dphi=8 margin=16:                   ~5.2 Mpx/s, 1.0e-4 real flips
+#   dphi=4 margin=16 (this default):    ~4.9 Mpx/s, 1.2e-7 tie-class flips
+#   dphi=4 margin=8  (pallas_fast):     ~5.4 Mpx/s, 5.4e-4 flips
 #                                       (max dev 0.9 m/s co / 0.1 dual)
 #
 # "tie-class" = deviations only where two grid cells attain EXACTLY equal
@@ -964,24 +964,35 @@ def _to_numpy(x):
 
 
 def _raw_data(x):
-    """Underlying data object WITHOUT materializing lazy/chunked arrays."""
+    """Underlying data object WITHOUT materializing lazy/chunked arrays.
+
+    Scalars and array-likes without an ``ndim`` (python floats, lists)
+    are coerced to numpy so the piece slicer can subscript them.
+    """
     if x is None:
         return None
-    return x.data if isinstance(x, DimArray) else x
+    data = x.data if isinstance(x, DimArray) else x
+    # python scalars have no ndim; numpy scalars (np.float64) have
+    # ndim == 0 but are not sliceable — coerce both to 0-d ndarrays
+    if not hasattr(data, "ndim") or (
+            getattr(data, "ndim") == 0 and not isinstance(data, np.ndarray)):
+        data = np.asarray(data)
+    return data
 
 
 def _any_valid(x):
     """True when ``x`` holds at least one non-NaN value.
 
-    Lazy/chunked inputs (no cheap full scan) are assumed valid — the
-    per-pixel NaN guards downstream handle the all-NaN case anyway.
+    Only truly lazy/chunked inputs (no cheap full scan) are assumed
+    valid — the per-pixel NaN guards downstream handle the all-NaN case
+    anyway. In-memory arrays (numpy, jax, scalars) are checked for real.
     """
     if x is None:
         return False
     data = _raw_data(x)
-    if not isinstance(data, np.ndarray):
+    if is_chunked(data):
         return True
-    return bool(np.any(~np.isnan(data)))
+    return bool(np.any(~np.isnan(np.asarray(data))))
 
 
 @xarray_io
