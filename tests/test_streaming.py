@@ -199,3 +199,59 @@ def test_scalar_pixel_inputs():
     assert np.shape(co) == ()
     assert np.isfinite(np.abs(co)) and np.abs(co) > 0
     np.testing.assert_array_equal(co, co_arr)
+
+
+def test_chunked_gradients_histogram_matches_eager():
+    """Gradients2D.histogram on a chunked image streams row bands and is
+    exactly equal to the in-memory result (reference dask map_overlap
+    counterpart, gradients.py:649-667)."""
+    from xsarsea_tpu.gradients import Gradients2D
+
+    ny, nx = 504, 240
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    img = (1.0 + 0.4 * np.sin(0.3 * (xx + 0.7 * yy))
+           + 0.1 * rng.normal(size=(ny, nx))).astype(np.float64) ** 2
+
+    coords = {"line": np.arange(ny, dtype=float),
+              "sample": np.arange(nx, dtype=float)}
+    eager = Gradients2D(DimArray(img, dims=("line", "sample"), coords=coords),
+                        window_size=64, window_step=1)._histogram_native
+
+    lazy = LazyRows(lambda a, b: img[a:b], img.shape)
+    banded = Gradients2D(DimArray(lazy, dims=("line", "sample"),
+                                  coords=coords),
+                         window_size=64, window_step=1)._histogram_native
+
+    # whole image fits one band here -> bit-identical to the eager path
+    np.testing.assert_array_equal(np.asarray(banded["weight"].data),
+                                  np.asarray(eager["weight"].data))
+    np.testing.assert_array_equal(np.asarray(banded["used_ratio"].data),
+                                  np.asarray(eager["used_ratio"].data))
+
+    # force REAL banding with a small block budget: results agree to f64
+    # ulp (different block shapes may fuse differently under XLA) and no
+    # band ever materialized more than its bounded slice
+    from xsarsea_tpu.gradients import _banded_streaks_hist
+
+    lg_line = np.arange((ny // 2) // 2) * 4.0 + 1.5
+    cl = np.abs(lg_line[None, :]
+                - np.asarray(eager["weight"].coords["line"])[:, None]
+                ).argmin(axis=1)
+    lg_sample = np.arange((nx // 2) // 2) * 4.0 + 1.5
+    cs = np.abs(lg_sample[None, :]
+                - np.asarray(eager["weight"].coords["sample"])[:, None]
+                ).argmin(axis=1)
+    bins = np.linspace(-np.pi / 2, np.pi / 2, 73)
+    bins = (bins[1:] + bins[:-1]) / 2
+    lazy2 = LazyRows(lambda a, b: img[a:b], img.shape)
+    h2, r2 = _banded_streaks_hist(lazy2, cl, cs, 16, bins,
+                                  max_block_px=180 * nx)
+    nl, ns = len(cl), len(cs)
+    np.testing.assert_allclose(
+        h2.reshape(nl, ns, -1), np.asarray(eager["weight"].data),
+        rtol=1e-12, atol=1e-300)
+    np.testing.assert_allclose(r2.reshape(nl, ns),
+                               np.asarray(eager["used_ratio"].data),
+                               rtol=1e-12)
+    assert 0 < lazy2.max_request < img.size  # streamed in bounded bands

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from xsarsea_tpu.dimarray import DimArray, DimDataset, blocked_coord_mean
+from xsarsea_tpu.dimarray import (DimArray, DimDataset, blocked_coord_mean,
+                                  is_chunked)
 from xsarsea_tpu.interop import is_dataarray_like, to_dataset, to_dimarray
 from xsarsea_tpu.ops.conv2d import (
     B2_KERNEL,
@@ -329,6 +330,107 @@ def _extract_windows(arr, centers_l, centers_s, pad_before, window):
     return wins.reshape(len(centers_l) * len(centers_s), window * window)
 
 
+#: stencil contamination radius of the input->local-gradients chain, in
+#: INPUT rows: lg row q reads input rows [4q-14, 4q+17] (B4+coarsen+B2 ->
+#: i2 radius 5, Scharr +-1, second R2 -> i2 [2q-5, 2q+6]); 24 covers it
+#: with slack and keeps 4-row alignment.
+_LG_MARGIN_IN = 24
+
+
+def _banded_streaks_hist(img, centers_l, centers_s, window, angles_bins,
+                         max_block_px=1 << 25):
+    """Out-of-core windowed streaks histograms over row bands.
+
+    ``img`` is any 2-D array with numpy-style first-axis slicing (dask,
+    zarr, h5py, memmap, numpy): only the input rows feeding one band of
+    window centers — window extent plus the ``_LG_MARGIN_IN`` stencil
+    halo — are materialized at a time, and each band runs through the
+    same fused jitted core as the in-memory path. Band blocks are
+    NaN-padded to one common height so a single compiled program serves
+    every band (NaN contamination stays inside the discarded halo).
+    Row-band starts are 4-aligned, so each block's lg grid is an exact
+    row-shifted slice of the full image's — interior results are
+    bit-identical to the whole-image computation, and true-edge bands
+    reproduce its boundary handling (same symm clamp / NaN windows).
+
+    This is the TPU-native counterpart of the reference's dask
+    ``map_overlap`` execution of the gradients stencils
+    (gradients.py:649-667). Returns (hist (ncl*ncs, n_angles), ratio).
+    """
+    ny, nx = (int(s) for s in img.shape)
+    cl = np.asarray(centers_l, dtype=np.int64)
+    cs = jnp.asarray(np.asarray(centers_s, dtype=np.int32))
+    ncs = len(np.asarray(centers_s))
+    win2 = (window - 1) // 2
+
+    order = None
+    if np.any(np.diff(cl) < 0):  # user-set windows_at may be unsorted
+        order = np.argsort(cl, kind="stable")
+        cl = cl[order]
+
+    # greedy grouping of (ascending) center rows into bands bounded by
+    # the block budget
+    max_rows = max(4 * window + 2 * _LG_MARGIN_IN + 8,
+                   (max_block_px // max(1, nx)) // 4 * 4)
+    bands = []
+    start = 0
+    for i in range(1, len(cl) + 1):
+        if i == len(cl) or (
+                4 * (cl[i] - cl[start] + window) + 2 * _LG_MARGIN_IN
+                > max_rows):
+            bands.append((start, i))
+            start = i
+
+    def span(b0, b1):
+        lg_lo = int(cl[b0]) - win2
+        lg_hi = int(cl[b1 - 1]) - win2 + window
+        in_lo = max(0, 4 * lg_lo - _LG_MARGIN_IN) // 4 * 4
+        in_hi = min(ny, 4 * lg_hi + _LG_MARGIN_IN)
+        return in_lo, in_hi
+
+    # common block height of REAL rows: every band's range is extended
+    # (upward first) to exactly H, so one compiled program serves all
+    # bands and no padding can disturb the boundary handling — a block
+    # edge coincides with the image edge exactly when the full
+    # computation's symm/NaN boundary applies there
+    H = min(ny, max(hi - lo for lo, hi in (span(*b) for b in bands)))
+    K = max(b1 - b0 for b0, b1 in bands)  # common centers per band
+
+    bins_d = jnp.asarray(angles_bins)
+
+    hists, ratios = [], []
+    for b0, b1 in bands:
+        in_lo, in_hi = span(b0, b1)
+        # extend (upward first) to height H with a 4-aligned start; a
+        # band that runs into the bottom edge re-anchors there, giving
+        # at most one extra block shape (height H..H+3)
+        in_lo = max(0, min(in_lo, in_hi - H)) // 4 * 4
+        in_hi = min(ny, in_lo + H)
+        if in_hi - in_lo < H:
+            in_lo = max(0, ny - H) // 4 * 4
+            in_hi = ny
+        block = np.ascontiguousarray(np.asarray(img[in_lo:in_hi]))
+        # centers relative to the block's lg grid (in_lo is 4-aligned, so
+        # the block's coarsen pairs align with the full image's)
+        cl_band = cl[b0:b1] - in_lo // 4
+        if len(cl_band) < K:  # pad tail band: duplicate rows, drop later
+            cl_band = np.r_[cl_band, np.repeat(cl_band[-1], K - len(cl_band))]
+        h, r = _streaks_core_jit(
+            jnp.asarray(block),
+            centers_l=jnp.asarray(cl_band.astype(np.int32)),
+            centers_s=cs, window=window, angles_bins=bins_d)
+        ncl = b1 - b0
+        hists.append(np.asarray(h).reshape(K, ncs, -1)[:ncl])
+        ratios.append(np.asarray(r).reshape(K, ncs)[:ncl])
+    hist = np.concatenate(hists)
+    ratio = np.concatenate(ratios)
+    if order is not None:
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        hist, ratio = hist[inv], ratio[inv]
+    return hist.reshape(len(cl) * ncs, -1), ratio.reshape(len(cl) * ncs)
+
+
 @partial(jax.jit, static_argnames=("window",))
 def _windows_hist_fused(g2_abs, g2_angle, c, centers_l, centers_s, window,
                         angles_bins):
@@ -359,6 +461,10 @@ def streaks_histogram_core(img, centers_l, centers_s, window, angles_bins):
     c_w = _extract_windows(c, centers_l, centers_s, window, window)
     hist, ratio = _histogram_windows(abs_w, ang_w, c_w, angles_bins)
     return hist / (window * window), jnp.nan_to_num(ratio)
+
+
+_streaks_core_jit = jax.jit(streaks_histogram_core,
+                            static_argnames=("window",))
 
 
 # --------------------------------------------------------------- Gradients2D
@@ -447,34 +553,55 @@ class Gradients2D:
 
     @property
     def _histogram_native(self):
-        if self._lg_hist is not None:
-            g2, g2_ang, c = self._lg_hist
-        else:
-            lg = self.local_gradients
-            g2, g2_ang, c = lg["G2_abs"], lg["G2_angle"], lg["c"]
-
+        # lg-grid coordinates are pure coordinate arithmetic (two R2
+        # coarsenings), so center snapping and window sizing never need
+        # the data — out-of-core inputs stay unmaterialized
+        lg_coords = {d: _r2_coord(_r2_coord(self.sigma0.coords[d]))
+                     for d in ("line", "sample")}
         # window size in lg pixels (gradients.py:151-158)
         win = int(np.mean([
-            self.window_size / _coord_step(g2.coords[d]) for d in ("line", "sample")
+            self.window_size / _coord_step(lg_coords[d])
+            for d in ("line", "sample")
         ]))
 
         at = self.windows_at
         # nearest lg pixel per requested center
         cl = np.abs(
-            np.asarray(g2.coords["line"])[None, :] - np.asarray(at["line"])[:, None]
+            lg_coords["line"][None, :] - np.asarray(at["line"])[:, None]
         ).argmin(axis=1)
         cs = np.abs(
-            np.asarray(g2.coords["sample"])[None, :] - np.asarray(at["sample"])[:, None]
+            lg_coords["sample"][None, :] - np.asarray(at["sample"])[:, None]
         ).argmin(axis=1)
 
         angles_bins = np.linspace(-np.pi / 2, np.pi / 2, self.n_angles + 1)
         angles_bins = (angles_bins[1:] + angles_bins[:-1]) / 2  # bin centers
 
-        cl = jnp.asarray(cl.astype(np.int32))
-        cs = jnp.asarray(cs.astype(np.int32))
-        hist, ratio = _windows_hist_fused(
-            jnp.asarray(g2.data), jnp.asarray(g2_ang.data),
-            jnp.asarray(c.data), cl, cs, win, jnp.asarray(angles_bins))
+        raw = self.sigma0.data
+        if self._lg_hist is not None:
+            # multiscale fan-out: lg precomputed once per (pol, factor)
+            g2, g2_ang, c = self._lg_hist
+            hist, ratio = _windows_hist_fused(
+                jnp.asarray(g2.data), jnp.asarray(g2_ang.data),
+                jnp.asarray(c.data),
+                jnp.asarray(cl.astype(np.int32)),
+                jnp.asarray(cs.astype(np.int32)),
+                win, jnp.asarray(angles_bins))
+            norm = win * win
+        elif is_chunked(raw):
+            # out-of-core: stream row bands through the fused core (which
+            # already normalizes by window pixels)
+            hist, ratio = _banded_streaks_hist(raw, cl, cs, win, angles_bins)
+            norm = 1.0
+        else:
+            # standalone in-memory: the same fused core, one dispatch —
+            # also keeps the banded path bit-identical in its
+            # single-band case
+            hist, ratio = _streaks_core_jit(
+                jnp.asarray(raw),
+                centers_l=jnp.asarray(cl.astype(np.int32)),
+                centers_s=jnp.asarray(cs.astype(np.int32)),
+                window=win, angles_bins=jnp.asarray(angles_bins))
+            norm = 1.0
 
         nl, ns = len(cl), len(cs)
         coords = {"line": np.asarray(at["line"]), "sample": np.asarray(at["sample"]),
@@ -484,7 +611,7 @@ class Gradients2D:
             if k not in ("line", "sample"):
                 coords[k] = v
         weight = DimArray(
-            hist.reshape(nl, ns, self.n_angles) / (win * win),
+            hist.reshape(nl, ns, self.n_angles) / norm,
             dims=("line", "sample", "angles"), coords=coords, name="weight",
         )
         used = DimArray(
@@ -580,6 +707,10 @@ class Gradients:
 
         by_shape = defaultdict(list)
         for s0, group in self._lg_groups:
+            if is_chunked(s0.data):
+                # out-of-core inputs take the banded per-instance path
+                # (factor-1 only: resampling needs the data in memory)
+                continue
             by_shape[tuple(s0.shape)].append((s0, group))
         for entries in by_shape.values():
             abs_b, ang_b, c_b = _streaks_lg_batched(
