@@ -64,6 +64,7 @@ TITLES = {
     "streaks_direction": "Wind-streak direction from multi-scale gradients",
     "gmfs_and_luts": "GMFs, LUTs and custom model registration",
     "multichip_batch": "Multi-scene batch inversion over a device mesh",
+    "out_of_core_scene": "Out-of-core scenes: streamed inversion and streaks",
 }
 
 

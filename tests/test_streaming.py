@@ -255,3 +255,73 @@ def test_chunked_gradients_histogram_matches_eager():
                                np.asarray(eager["used_ratio"].data),
                                rtol=1e-12)
     assert 0 < lazy2.max_request < img.size  # streamed in bounded bands
+
+
+@pytest.mark.parametrize("ny", [501, 502, 503])
+def test_banded_gradients_unaligned_height(ny):
+    """ny % 4 != 0: the bottom band must still end exactly at the image
+    edge (review-confirmed bug: the 4-aligned extension used to drop the
+    last 1-3 rows and shift the symm reflection boundary)."""
+    from xsarsea_tpu.gradients import Gradients2D, _banded_streaks_hist
+
+    nx = 168
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    img = (1.0 + 0.4 * np.sin(0.25 * (xx + 0.8 * yy))
+           + 0.1 * rng.normal(size=(ny, nx))).astype(np.float64) ** 2
+    coords = {"line": np.arange(ny, dtype=float),
+              "sample": np.arange(nx, dtype=float)}
+    eager = Gradients2D(DimArray(img, dims=("line", "sample"),
+                                 coords=coords),
+                        window_size=64, window_step=1)._histogram_native
+
+    lg_n = (ny // 2) // 2
+    lg_line = np.arange(lg_n) * 4.0 + 1.5
+    cl = np.abs(lg_line[None, :]
+                - np.asarray(eager["weight"].coords["line"])[:, None]
+                ).argmin(axis=1)
+    lg_sample = np.arange((nx // 2) // 2) * 4.0 + 1.5
+    cs = np.abs(lg_sample[None, :]
+                - np.asarray(eager["weight"].coords["sample"])[:, None]
+                ).argmin(axis=1)
+    bins = np.linspace(-np.pi / 2, np.pi / 2, 73)
+    bins = (bins[1:] + bins[:-1]) / 2
+    lazy = LazyRows(lambda a, b: img[a:b], img.shape)
+    h, r = _banded_streaks_hist(lazy, cl, cs, 16, bins,
+                                max_block_px=180 * nx)
+    nl, ns = len(cl), len(cs)
+    np.testing.assert_allclose(h.reshape(nl, ns, -1),
+                               np.asarray(eager["weight"].data),
+                               rtol=1e-12, atol=1e-300)
+    np.testing.assert_allclose(r.reshape(nl, ns),
+                               np.asarray(eager["used_ratio"].data),
+                               rtol=1e-12)
+
+
+def test_multiscale_gradients_chunked_input():
+    """Multiscale Gradients on a 2-D chunked array: stays lazy at
+    factor 1 (review finding: expand_dims used to materialize/crash) and
+    raises clearly for factor != 1."""
+    from xsarsea_tpu.gradients import Gradients
+
+    ny, nx = 256, 160
+    rng = np.random.default_rng(6)
+    img = np.abs(rng.normal(1.0, 0.3, (ny, nx))) + 0.05
+    coords = {"line": np.arange(ny, dtype=float),
+              "sample": np.arange(nx, dtype=float)}
+
+    lazy = LazyRows(lambda a, b: img[a:b], img.shape)
+    g = Gradients(DimArray(lazy, dims=("line", "sample"), coords=coords),
+                  windows_sizes=[40, 64], downscales_factors=[1])
+    h = g.histogram
+    eager = Gradients(DimArray(img, dims=("line", "sample"), coords=coords),
+                      windows_sizes=[40, 64], downscales_factors=[1]).histogram
+    np.testing.assert_allclose(np.asarray(h["weight"].data),
+                               np.asarray(eager["weight"].data),
+                               rtol=1e-12, atol=1e-300)
+    assert 0 < lazy.max_request <= img.size
+
+    with pytest.raises(NotImplementedError, match="downscales_factors"):
+        Gradients(DimArray(LazyRows(lambda a, b: img[a:b], img.shape),
+                           dims=("line", "sample"), coords=coords),
+                  windows_sizes=[40], downscales_factors=[1, 2])

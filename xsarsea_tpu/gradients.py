@@ -345,13 +345,16 @@ def _banded_streaks_hist(img, centers_l, centers_s, window, angles_bins,
     zarr, h5py, memmap, numpy): only the input rows feeding one band of
     window centers — window extent plus the ``_LG_MARGIN_IN`` stencil
     halo — are materialized at a time, and each band runs through the
-    same fused jitted core as the in-memory path. Band blocks are
-    NaN-padded to one common height so a single compiled program serves
-    every band (NaN contamination stays inside the discarded halo).
-    Row-band starts are 4-aligned, so each block's lg grid is an exact
-    row-shifted slice of the full image's — interior results are
-    bit-identical to the whole-image computation, and true-edge bands
-    reproduce its boundary handling (same symm clamp / NaN windows).
+    same fused jitted core as the in-memory path. Band input ranges are
+    extended (upward first) with REAL image rows to one common height,
+    so a single compiled program serves every band and no padding can
+    disturb the boundary handling: a block edge coincides with the image
+    edge exactly where the whole-image computation's symm/NaN boundary
+    applies. Row-band starts are 4-aligned, so each block's lg grid is
+    an exact row-shifted slice of the full image's — results are
+    bit-identical to the whole-image computation when it fits one band,
+    and agree to f64 ulp across bands (different block shapes may fuse
+    differently under XLA).
 
     This is the TPU-native counterpart of the reference's dask
     ``map_overlap`` execution of the gradients stencils
@@ -400,13 +403,17 @@ def _banded_streaks_hist(img, centers_l, centers_s, window, angles_bins,
 
     hists, ratios = [], []
     for b0, b1 in bands:
-        in_lo, in_hi = span(b0, b1)
+        in_lo0, in_hi0 = span(b0, b1)
         # extend (upward first) to height H with a 4-aligned start; a
-        # band that runs into the bottom edge re-anchors there, giving
-        # at most one extra block shape (height H..H+3)
-        in_lo = max(0, min(in_lo, in_hi - H)) // 4 * 4
+        # band whose span reaches the bottom edge re-anchors there so the
+        # block ends EXACTLY at ny (the symm boundary must reflect at the
+        # true edge — when ny % 4 != 0 this gives one extra block shape
+        # of height H..H+3). Interior spans may lose up to 3 margin rows
+        # to the alignment floor; the 24-row halo absorbs that (>= 18
+        # needed).
+        in_lo = max(0, min(in_lo0, in_hi0 - H)) // 4 * 4
         in_hi = min(ny, in_lo + H)
-        if in_hi - in_lo < H:
+        if in_hi0 == ny and in_hi < ny:
             in_lo = max(0, ny - H) // 4 * 4
             in_hi = ny
         block = np.ascontiguousarray(np.asarray(img[in_lo:in_hi]))
@@ -577,9 +584,17 @@ class Gradients2D:
         angles_bins = (angles_bins[1:] + angles_bins[:-1]) / 2  # bin centers
 
         raw = self.sigma0.data
-        if self._lg_hist is not None:
-            # multiscale fan-out: lg precomputed once per (pol, factor)
-            g2, g2_ang, c = self._lg_hist
+        if self._lg_hist is not None or self._lg is not None:
+            # lg already available: injected by the multiscale fan-out
+            # (once per pol x factor), or cached from a prior
+            # .local_gradients access — don't re-run the conv cascade.
+            # (May differ from the fused-core branch below at f64 ulp:
+            # separately compiled programs can fuse differently.)
+            if self._lg_hist is not None:
+                g2, g2_ang, c = self._lg_hist
+            else:
+                lg = self._lg
+                g2, g2_ang, c = lg["G2_abs"], lg["G2_angle"], lg["c"]
             hist, ratio = _windows_hist_fused(
                 jnp.asarray(g2.data), jnp.asarray(g2_ang.data),
                 jnp.asarray(c.data),
@@ -663,12 +678,23 @@ class Gradients:
         # (a DimArray without line/sample coords must work too)
         sigma0 = _as_da(sigma0, dims=("pol", "line", "sample")
                         if getattr(sigma0, "ndim", 2) == 3 else ("line", "sample"))
-        self._drop_pol = False
-        if "pol" not in sigma0.dims:
+        self._drop_pol = "pol" not in sigma0.dims
+        pol_slices = None
+        if self._drop_pol and is_chunked(sigma0.data):
+            # never np.expand_dims a lazy array (it would materialize the
+            # whole scene): treat it as one virtual pol slice — the
+            # banded per-instance path keeps it out-of-core
+            pol_slices = [sigma0.assign_coords(pol=np.asarray("pol0"))]
+            pols = np.array(["pol0"])
+        elif self._drop_pol:
             sigma0 = sigma0.expand_dims("pol")
             if "pol" not in sigma0.coords:
                 sigma0 = sigma0.assign_coords(pol=np.array(["pol0"]))
-            self._drop_pol = True
+        if pol_slices is None:
+            pols = np.asarray(sigma0.coords.get(
+                "pol", np.arange(sigma0.sizes["pol"])))
+            pol_slices = [sigma0.isel(pol=ip)
+                          for ip in range(sigma0.sizes["pol"])]
         self.sigma0 = sigma0
         self.windows_sizes = list(windows_sizes)
         self.downscales_factors = list(downscales_factors)
@@ -677,10 +703,9 @@ class Gradients:
         self._combos = []
         self._lg_groups = []  # one (s0, [Gradients2D...]) per (pol, factor)
         self._lg_ready = False
-        pols = np.asarray(sigma0.coords.get("pol", np.arange(sigma0.sizes["pol"])))
         for ip, p in enumerate(pols):
             for df in self.downscales_factors:
-                s0 = Gradients._sigma0_resample(sigma0.isel(pol=ip), df)
+                s0 = Gradients._sigma0_resample(pol_slices[ip], df)
                 group = []
                 for ws in self.windows_sizes:
                     g2d = Gradients2D(s0, window_size=ws)
@@ -762,6 +787,11 @@ class Gradients:
         (gradients.py:336-362)."""
         if factor == 1:
             return sigma0
+        if is_chunked(sigma0.data):
+            raise NotImplementedError(
+                "downscales_factors != 1 needs the scene in memory "
+                "(INTER_AREA resampling); out-of-core (chunked) input "
+                "supports downscales_factors=[1] only")
         target = (sigma0.sizes["line"] // factor, sigma0.sizes["sample"] // factor)
         # jitted (static target): eager op dispatch costs ~100+ ms each on
         # remote-tunnel TPU backends
