@@ -34,7 +34,10 @@ def drain(out):
 
     global _drain_fn
     if _drain_fn is None:
-        _drain_fn = jax.jit(lambda t: jnp.ravel(t)[:1])
+        # real projection inside the jit: the axon plugin cannot d2h
+        # complex buffers (UNIMPLEMENTED), though complex ops execute
+        _drain_fn = jax.jit(
+            lambda t: jnp.real(jnp.ravel(t)[:1]).astype(jnp.float32))
     leaves = jax.tree_util.tree_leaves(out)
     return np.asarray(_drain_fn(leaves[-1]))
 
