@@ -113,3 +113,57 @@ def test_cli_models_to_packed(tmp_path, capsys):
     main(["list", "--pol", "VV"])
     out = capsys.readouterr().out
     assert "VH" not in out
+
+
+def test_cli_invert(tmp_path, capsys):
+    """Serving entry point: scene .npz in -> wind .npz out (dual + mono)."""
+    from test_inversion import synthetic_scene
+
+    from xsarsea_tpu.cli import main
+    from xsarsea_tpu.windspeed import invert_from_model
+
+    inc, s0_co, s0_cr, dsig_cr, anc = synthetic_scene(ny=12, nx=14)
+    scene = tmp_path / "scene.npz"
+    np.savez(scene, inc=inc, sigma0=s0_co, sigma0_dual=s0_cr,
+             ancillary_wind=anc)
+    out = tmp_path / "wind.npz"
+    main(["invert", str(scene), str(out),
+          "--model", "gmf_cmod5n,gmf_s1_v2", "--mode", "exact"])
+    got = np.load(out)
+    ref_co, ref_dual = invert_from_model(
+        inc, s0_co, s0_cr, ancillary_wind=anc, dsig_cr=0.1,
+        model=("gmf_cmod5n", "gmf_s1_v2"), mode="exact")
+    np.testing.assert_array_equal(got["wind_co"], ref_co)
+    np.testing.assert_array_equal(got["wind_dual"], ref_dual)
+    assert "valid" in capsys.readouterr().out
+
+    # mono-pol copol
+    scene2 = tmp_path / "scene2.npz"
+    np.savez(scene2, inc=inc, sigma0=s0_co, ancillary_wind=anc)
+    out2 = tmp_path / "wind2.npz"
+    main(["invert", str(scene2), str(out2),
+          "--model", "gmf_cmod5n", "--mode", "exact"])
+    ref_mono = invert_from_model(inc, s0_co, ancillary_wind=anc,
+                                 model="gmf_cmod5n", mode="exact")
+    np.testing.assert_array_equal(np.load(out2)["wind"], ref_mono)
+
+
+def test_cli_invert_directory_memmap(tmp_path):
+    """Directory-of-.npy scene form memory-maps (out-of-core serving)."""
+    from test_inversion import synthetic_scene
+
+    from xsarsea_tpu.cli import main
+
+    inc, s0_co, s0_cr, _, anc = synthetic_scene(ny=10, nx=12)
+    d = tmp_path / "scene"
+    d.mkdir()
+    np.save(d / "inc.npy", inc)
+    np.save(d / "sigma0.npy", s0_co)
+    np.save(d / "sigma0_dual.npy", s0_cr)
+    np.save(d / "ancillary_wind.npy", anc)
+    out = tmp_path / "wind.npz"
+    main(["invert", str(d), str(out),
+          "--model", "gmf_cmod5n,gmf_s1_v2", "--mode", "exact"])
+    got = np.load(out)
+    assert got["wind_dual"].shape == inc.shape
+    assert np.isfinite(np.abs(got["wind_dual"])).any()

@@ -2,8 +2,9 @@
 
 Mirrors the reference CLI (/root/reference/src/scripts/xsarsea_cli.py):
 ``models-to-nc`` exports every registered non-netCDF model to netCDF LUT
-files. Extra subcommands: ``list`` (registry table) and
-``models-to-packed`` (the packed device-ready cache format).
+files. Extra subcommands: ``list`` (registry table), ``models-to-packed``
+(the packed device-ready cache format) and ``invert`` (batch wind
+inversion of a scene file — the serving entry point).
 
 argparse-based (the reference uses typer, which is not a dependency of
 this framework).
@@ -67,6 +68,58 @@ def cmd_list(args):
     print(df.drop(columns=["model"]).to_string())
 
 
+def cmd_invert(args):
+    """Batch wind inversion: scene file(s) in, wind field out.
+
+    The serving entry point: reads inc/sigma0[/sigma0_dual/ancillary]
+    arrays from an ``.npz``, or from a DIRECTORY of per-key ``.npy``
+    files — the directory form memory-maps each array, so arbitrarily
+    large scenes stream through the piece pipeline with O(piece) host
+    memory (see scripts/demo_full_scene.py for the 10^8-px version of
+    this layout). Writes complex wind to an ``.npz``.
+    """
+    import numpy as np
+
+    from xsarsea_tpu.windspeed import invert_from_model
+
+    _register_from_args(args)
+    if os.path.isdir(args.scene):
+        scene = {}
+        for f in sorted(os.listdir(args.scene)):
+            if f.endswith(".npy"):
+                scene[f[:-4]] = np.load(os.path.join(args.scene, f),
+                                        mmap_mode="r")
+    else:
+        scene = np.load(args.scene)
+    missing = [k for k in ("inc", "sigma0") if k not in scene]
+    if missing:
+        raise SystemExit(
+            f"{args.scene}: missing required arrays {missing} "
+            f"(found {list(scene.keys())})")
+    models = tuple(m.strip() for m in args.model.split(","))
+    dual = scene["sigma0_dual"] if "sigma0_dual" in scene else None
+    anc = scene["ancillary_wind"] if "ancillary_wind" in scene else None
+    kwargs = {}
+    if dual is not None and len(models) == 2:
+        out = invert_from_model(
+            scene["inc"], scene["sigma0"], dual, ancillary_wind=anc,
+            dsig_cr=args.dsig_cr, model=models, mode=args.mode, **kwargs)
+        wind_co, wind_dual = out
+        np.savez(args.out, wind_co=wind_co, wind_dual=wind_dual)
+        speeds = np.abs(wind_dual)
+    else:
+        wind = invert_from_model(
+            scene["inc"], scene["sigma0"], ancillary_wind=anc,
+            dsig_cr=args.dsig_cr, model=models[0], mode=args.mode, **kwargs)
+        np.savez(args.out, wind=wind)
+        speeds = np.abs(wind)
+    n = speeds.size
+    valid = np.isfinite(speeds)
+    print(f"inverted {n} px with {'+'.join(models)} -> {args.out} "
+          f"({valid.mean():.1%} valid, mean speed "
+          f"{np.nanmean(speeds[valid]):.2f} m/s)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="xsarsea-tpu",
@@ -94,6 +147,22 @@ def main(argv=None):
                           help="list registered models")
     p_ls.add_argument("--pol", default=None, help="filter by polarization")
     p_ls.set_defaults(func=cmd_list)
+
+    p_inv = sub.add_parser(
+        "invert", parents=[common],
+        help="invert a scene .npz (inc, sigma0[, sigma0_dual, "
+             "ancillary_wind]) into wind")
+    p_inv.add_argument("scene", help=".npz with inc/sigma0[/sigma0_dual"
+                                     "/ancillary_wind] arrays")
+    p_inv.add_argument("out", help="output .npz path")
+    p_inv.add_argument("--model", required=True,
+                       help="model name, or 'co_model,cr_model' for "
+                            "dual-pol")
+    p_inv.add_argument("--mode", default="auto",
+                       help="inversion mode (auto/exact/pallas/"
+                            "pallas_fast)")
+    p_inv.add_argument("--dsig-cr", type=float, default=0.1)
+    p_inv.set_defaults(func=cmd_invert)
 
     args = p.parse_args(argv)
     return args.func(args)
