@@ -231,6 +231,9 @@ def test_nearest_index_true_grid_compare():
     for grid in (
         np.arange(16.0, 66.0 + 0.1, 0.1).astype(np.float32),  # fast path
         np.sort(rng.uniform(16.0, 66.0, 73)).astype(np.float32),  # search
+        np.arange(66.0, 15.9, -0.1).astype(np.float32),  # descending fast
+        np.sort(rng.uniform(16.0, 66.0, 73))[::-1].copy().astype(
+            np.float32),  # descending binary search
     ):
         vals = rng.uniform(14.0, 68.0, 4096).astype(np.float32)
         # exact midpoints (engineered ties -> lower index must win)

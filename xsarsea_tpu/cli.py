@@ -99,18 +99,25 @@ def cmd_invert(args):
     models = tuple(m.strip() for m in args.model.split(","))
     dual = scene["sigma0_dual"] if "sigma0_dual" in scene else None
     anc = scene["ancillary_wind"] if "ancillary_wind" in scene else None
-    kwargs = {}
-    if dual is not None and len(models) == 2:
-        out = invert_from_model(
+    # scene channels and model count must agree — never silently drop one
+    if dual is None and len(models) == 2:
+        raise SystemExit(
+            f"--model names two models {models} but the scene has no "
+            f"'sigma0_dual' array (found {sorted(scene.keys())})")
+    if dual is not None and len(models) != 2:
+        raise SystemExit(
+            "scene has a 'sigma0_dual' array: pass two models "
+            "(--model co_model,cr_model) or remove the dual channel")
+    if dual is not None:
+        wind_co, wind_dual = invert_from_model(
             scene["inc"], scene["sigma0"], dual, ancillary_wind=anc,
-            dsig_cr=args.dsig_cr, model=models, mode=args.mode, **kwargs)
-        wind_co, wind_dual = out
+            dsig_cr=args.dsig_cr, model=models, mode=args.mode)
         np.savez(args.out, wind_co=wind_co, wind_dual=wind_dual)
         speeds = np.abs(wind_dual)
     else:
         wind = invert_from_model(
             scene["inc"], scene["sigma0"], ancillary_wind=anc,
-            dsig_cr=args.dsig_cr, model=models[0], mode=args.mode, **kwargs)
+            dsig_cr=args.dsig_cr, model=models[0], mode=args.mode)
         np.savez(args.out, wind=wind)
         speeds = np.abs(wind)
     n = speeds.size

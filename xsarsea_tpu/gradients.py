@@ -501,6 +501,9 @@ class Gradients2D:
         # Gradients fan-out — computed ONCE per (pol, downscale factor)
         # in a pol-batched jitted program and shared across window sizes
         self._lg_hist = None
+        # last (windows_at fingerprint) -> histogram DimDataset, so
+        # repeated .histogram reads don't re-run the device pipeline
+        self._hist_cache = None
 
     @property
     def i2(self):
@@ -572,6 +575,13 @@ class Gradients2D:
         ]))
 
         at = self.windows_at
+        # id()s of the lg sources: injecting _lg_hist (multiscale) or
+        # computing .local_gradients after a cached call must invalidate
+        cache_key = (win, id(self._lg_hist), id(self._lg),
+                     np.asarray(at["line"]).tobytes(),
+                     np.asarray(at["sample"]).tobytes())
+        if self._hist_cache is not None and self._hist_cache[0] == cache_key:
+            return self._hist_cache[1]
         # nearest lg pixel per requested center
         cl = np.abs(
             lg_coords["line"][None, :] - np.asarray(at["line"])[:, None]
@@ -633,7 +643,9 @@ class Gradients2D:
             jnp.nan_to_num(ratio.reshape(nl, ns)),
             dims=("line", "sample"), coords=coords, name="used_ratio",
         )
-        return DimDataset({"weight": weight, "used_ratio": used})
+        ds = DimDataset({"weight": weight, "used_ratio": used})
+        self._hist_cache = (cache_key, ds)
+        return ds
 
 
 class StackedGradients:
@@ -691,6 +703,13 @@ class Gradients:
             if "pol" not in sigma0.coords:
                 sigma0 = sigma0.assign_coords(pol=np.array(["pol0"]))
         if pol_slices is None:
+            if is_chunked(sigma0.data):
+                # the lazy protocol guarantees first-axis slicing only;
+                # pol-indexing a 3-D chunked array would materialize it
+                raise NotImplementedError(
+                    "multi-pol chunked input: pass each pol as its own "
+                    "2-D chunked array (Gradients2D), or load the scene "
+                    "in memory")
             pols = np.asarray(sigma0.coords.get(
                 "pol", np.arange(sigma0.sizes["pol"])))
             pol_slices = [sigma0.isel(pol=ip)

@@ -97,10 +97,12 @@ def near_uniform_fit(gnp):
     if n < 2:
         return None
     step = (gnp[-1] - gnp[0]) / (n - 1)
-    if not step > 0:
+    # negative steps are fine: descending grids use the same arithmetic
+    # candidate (the old uniform path accepted them too)
+    if step == 0 or not np.isfinite(step):
         return None
     ideal = gnp[0] + step * np.arange(n)
-    if np.max(np.abs(gnp - ideal)) >= 0.4 * step:
+    if np.max(np.abs(gnp - ideal)) >= 0.4 * abs(step):
         return None
     return float(gnp[0]), float(step)
 
@@ -149,14 +151,27 @@ def nearest_index_sorted(grid, values):
     """
     grid = jnp.asarray(grid)
     n = grid.shape[0]
+    descending = False
     if not isinstance(grid, jax.core.Tracer):
-        fit = near_uniform_fit(np.asarray(grid, dtype=np.float64))
+        gnp = np.asarray(grid, dtype=np.float64)
+        fit = near_uniform_fit(gnp)
         if fit is not None:
             return nearest_index_near_uniform(grid, fit[0], fit[1], values)
-    i1 = jnp.clip(jnp.searchsorted(grid, values), 1, n - 1)
-    d_left = values - grid[i1 - 1]
-    d_right = grid[i1] - values
-    idx = jnp.where(d_left <= d_right, i1 - 1, i1)
+        descending = n >= 2 and gnp[0] > gnp[-1]
+    if descending:
+        # binary-search on the reversed (ascending) grid; ties must still
+        # resolve to the LOWER ORIGINAL index = higher reversed index
+        rev = grid[::-1]
+        i1 = jnp.clip(jnp.searchsorted(rev, values), 1, n - 1)
+        d_left = values - rev[i1 - 1]
+        d_right = rev[i1] - values
+        idx_rev = jnp.where(d_left < d_right, i1 - 1, i1)
+        idx = (n - 1) - idx_rev
+    else:
+        i1 = jnp.clip(jnp.searchsorted(grid, values), 1, n - 1)
+        d_left = values - grid[i1 - 1]
+        d_right = grid[i1] - values
+        idx = jnp.where(d_left <= d_right, i1 - 1, i1)
     # NaN values -> index 0 (result discarded by NaN guards downstream)
     return jnp.where(jnp.isnan(values), 0, idx).astype(jnp.int32)
 

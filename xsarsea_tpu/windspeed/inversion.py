@@ -980,19 +980,40 @@ def _raw_data(x):
     return data
 
 
+_any_valid_dev = None
+
+
 def _any_valid(x):
     """True when ``x`` holds at least one non-NaN value.
 
-    Only truly lazy/chunked inputs (no cheap full scan) are assumed
-    valid — the per-pixel NaN guards downstream handle the all-NaN case
-    anyway. In-memory arrays (numpy, jax, scalars) are checked for real.
+    Memory discipline: truly lazy/chunked inputs are assumed valid (the
+    per-pixel NaN guards downstream handle all-NaN anyway); jax arrays
+    reduce ON DEVICE (no d2h of the data); numpy arrays — including
+    scene-sized memmaps — scan in row blocks with early exit, so the
+    typical (mostly-valid) case touches O(block) and never allocates a
+    full-scene boolean temporary.
     """
     if x is None:
         return False
     data = _raw_data(x)
     if is_chunked(data):
         return True
-    return bool(np.any(~np.isnan(np.asarray(data))))
+    if isinstance(data, jax.Array):
+        global _any_valid_dev
+        if _any_valid_dev is None:
+            _any_valid_dev = jax.jit(lambda t: jnp.any(~jnp.isnan(t)))
+        return bool(_any_valid_dev(data))
+    data = np.asarray(data)
+    if data.ndim == 0:
+        return bool(~np.isnan(data))
+    rest = 1
+    for s in data.shape[1:]:
+        rest *= int(s)
+    step = max(1, (1 << 22) // max(1, rest))
+    for r0 in range(0, data.shape[0], step):
+        if np.any(~np.isnan(data[r0:r0 + step])):
+            return True
+    return False
 
 
 @xarray_io
