@@ -65,6 +65,7 @@ TITLES = {
     "gmfs_and_luts": "GMFs, LUTs and custom model registration",
     "multichip_batch": "Multi-scene batch inversion over a device mesh",
     "out_of_core_scene": "Out-of-core scenes: streamed inversion and streaks",
+    "create_hh_lut": "Create HH LUTs from VV models and polarization ratios",
 }
 
 
