@@ -452,8 +452,12 @@ def _build_g4_grouped(tables: InversionTables, dsig_co,
 #
 # "tie-class" = deviations only where two grid cells attain EXACTLY equal
 # f32 cost (any windowed refine tie-breaks those by window placement;
-# deviation is then at most one wspd step). The margin must stay a
-# multiple of 8: srow0 = g*WGROUP - margin feeds 8-aligned sublane loads.
+# deviation is then at most one wspd step at identical phi). The rate is
+# data-dependent: ~2e-7 on forward-modeled scenes, ~3e-5 on adversarial
+# uniform-random sigma0 (measured on TPU; 'pallas_exact' shows the SAME
+# flips — they are inherent to any windowed refine, not coarse drift).
+# The margin must stay a multiple of 8: srow0 = g*WGROUP - margin feeds
+# 8-aligned sublane loads.
 _COARSE_DW = 0.2
 _COARSE_DPHI = 4.0
 _FAST_MARGIN = 16
