@@ -159,9 +159,36 @@ def _register_synthetic_cmod7():
     register_cmod7(str(d))
 
 
+def _ensure_native_lutio():
+    """Build the native LUT codec in-place when absent (VERDICT r3 #9:
+    the bench environment must exercise the production decoder, not the
+    pure-Python fallback). Returns True when the native module imports."""
+    import importlib
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    try:
+        importlib.import_module("xsarsea_tpu._lutio")
+        return True
+    except ImportError:
+        pass
+    try:
+        subprocess.run(
+            [sys.executable, "setup.py", "build_ext", "--inplace"],
+            cwd=Path(__file__).parent, capture_output=True, timeout=300,
+            check=True)
+        importlib.import_module("xsarsea_tpu._lutio")
+        return True
+    except Exception:  # noqa: BLE001 — toolchain absent: fallback is used
+        return False
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    native_lutio = _ensure_native_lutio()
 
     from xsarsea_tpu.models import get_model
     from xsarsea_tpu.windspeed.inversion import invert_pixels, prepare_tables
@@ -293,11 +320,15 @@ def main():
     rms = float(np.sqrt(np.nanmean((np.abs(dual) - wspd) ** 2)))
     streaks_mpx_s = bench_streaks()
     gradients_class_mpx_s = bench_gradients_class()
+    parity_str = ("pallas==exact max dev "
+                  f"{pallas_vs_exact_max_dev:g} m/s, "
+                  if pallas_vs_exact_max_dev is not None else "")
     print(json.dumps({
         "metric": "dual-pol inversion throughput, device-resident inputs "
-                  f"({jax.default_backend()}, mode={mode}, "
+                  f"({jax.default_backend()}, mode={mode}, {parity_str}"
+                  "RMS vs truth on noisy synthetic scene "
+                  f"{rms:.3f} m/s [not a parity metric], "
                   f"from-host e2e {e2e_mpx_s:.2f} Mpx/s, "
-                  f"retrieval RMS vs truth {rms:.3f} m/s, "
                   f"streaks histogram {streaks_mpx_s:.1f} Mpx/s)",
         "value": round(mpx_s, 3),
         "unit": "Mpx/s/chip",
@@ -309,7 +340,8 @@ def main():
         "pallas_fast_mpx_s": fast_mpx_s,
         "cmod7_mpx_s": cmod7_mpx_s,
         "pallas_vs_exact_max_dev_m_s": pallas_vs_exact_max_dev,
-        "rms_m_s": round(rms, 3),
+        "rms_vs_truth_noisy_m_s": round(rms, 3),
+        "native_lutio": native_lutio,
     }))
 
 

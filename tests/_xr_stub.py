@@ -11,17 +11,32 @@ import numpy as np
 
 class DataArray:
     def __init__(self, data, coords=None, dims=None, name=None, attrs=None):
-        self.values = np.asarray(data)
+        # mirror xarray's .data/.values split: a chunked (dask-like) array
+        # is kept lazy in .data; .values materializes (like real xarray)
+        if hasattr(data, "chunks") and not isinstance(data, np.ndarray):
+            self._data = data
+        else:
+            self._data = np.asarray(data)
         if dims is None:
-            dims = tuple(f"dim_{i}" for i in range(self.values.ndim))
+            dims = tuple(f"dim_{i}" for i in range(self._data.ndim))
         self.dims = tuple(dims)
         self.coords = dict(coords or {})
         self.attrs = dict(attrs or {})
         self.name = name
 
     @property
+    def data(self):
+        return self._data
+
+    @property
+    def values(self):
+        if isinstance(self._data, np.ndarray):
+            return self._data
+        return np.asarray(self._data[0:self._data.shape[0]])
+
+    @property
     def shape(self):
-        return self.values.shape
+        return self._data.shape
 
 
 class Dataset:

@@ -503,3 +503,28 @@ def test_gradients_without_spatial_coords():
     h = g.histogram
     assert h["weight"].dims[-1] == "angles"
     assert np.isfinite(np.asarray(h["weight"].data)).all()
+
+
+def test_hist_cache_invalidation_on_lg_reassign():
+    """Reassigning _lg_hist after a cached histogram read must serve the
+    new lg data, not the cached result (the cache keys on a generation
+    counter — an id()-keyed cache could alias a recycled id)."""
+    img = streak_image(160, 160)
+    g = Gradients2D(img, window_size=40, window_step=1)
+    first = g.histogram
+    w_first = np.asarray(first["weight"].data).copy()
+
+    # inject a different lg trio (scaled abs changes r-weights -> hist)
+    lg = local_gradients(
+        Gradients2D(img, window_size=40, window_step=1).ampl)
+    coords = {d: lg["G2_abs"].coords[d] for d in ("line", "sample")}
+    mk = lambda a, n: DimArray(np.asarray(a), dims=("line", "sample"),
+                               coords=coords, name=n)
+    g._lg_hist = (mk(np.asarray(lg["G2_abs"].data) * 0.0, "G2_abs"),
+                  mk(lg["G2_angle"].data, "G2_angle"),
+                  mk(lg["c"].data, "c"))
+    second = g.histogram
+    w_second = np.asarray(second["weight"].data)
+    assert not np.allclose(w_first, w_second)
+    # all-zero |G2| -> every pixel masked out -> zero weights
+    assert np.allclose(w_second, 0.0)

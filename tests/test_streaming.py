@@ -325,3 +325,34 @@ def test_multiscale_gradients_chunked_input():
         Gradients(DimArray(LazyRows(lambda a, b: img[a:b], img.shape),
                            dims=("line", "sample"), coords=coords),
                   windows_sizes=[40], downscales_factors=[1, 2])
+
+
+def test_lazy_all_nan_ancillary_rejected():
+    """A chunked ancillary_wind that is all-NaN must fail copol validation
+    exactly like the eager path — _any_valid samples lazy inputs in row
+    blocks instead of assuming validity (advisor r3, inversion.py)."""
+    ny, nx = 8, 16
+    inc = np.full((ny, nx), 30.0)
+    s0 = np.full((ny, nx), 0.01)
+    anc_nan = LazyRows(
+        lambda a, b: np.full((b - a, nx), np.nan, complex),
+        (ny, nx), dtype=np.complex128)
+    with pytest.raises(ValueError, match="ancillary_wind"):
+        invert_from_model(
+            LazyRows(lambda a, b: inc[a:b], inc.shape),
+            LazyRows(lambda a, b: s0[a:b], s0.shape),
+            ancillary_wind=anc_nan, model="gmf_cmod5n", mode="exact", **KW)
+
+
+def test_lazy_any_valid_early_exit():
+    """_any_valid on a mostly-valid chunked input touches only the first
+    row block (early exit) — it must not materialize the scene."""
+    from xsarsea_tpu.windspeed.inversion import _any_valid
+
+    probe = LazyRows(lambda a, b: np.ones((b - a, 64), complex), (4096, 64),
+                     dtype=np.complex128)
+    assert _any_valid(probe)
+    assert probe.max_request <= (1 << 22)
+
+    all_nan = LazyRows(lambda a, b: np.full((b - a, 64), np.nan), (128, 64))
+    assert not _any_valid(all_nan)

@@ -142,3 +142,29 @@ def test_aux_coords_restored_from_template():
     out = sigma0_detrend(da, _da(inc))
     assert "lat" in out.coords
     np.testing.assert_array_equal(np.asarray(out.coords["lat"]), lat)
+
+
+def test_invert_chunked_dataarray_stub():
+    """A DataArray wrapping a chunked (dask-like) array must stream
+    through the lazy path — .data stays lazy through to_dimarray, output
+    DataArrays equal the eager results (reference windspeed.py:345-367;
+    the real-xarray twin lives in test_real_xarray_dask.py)."""
+    from test_streaming import LazyRows
+
+    inc, s0_co, s0_cr, anc, _ = _scene()
+    KW = dict(inc_step=0.4, wspd_step=0.4, phi_step=2.5)
+    co_ref, dual_ref = invert_from_model(
+        inc, s0_co, s0_cr, ancillary_wind=anc, dsig_cr=0.1,
+        model=("gmf_cmod5n", "gmf_s1_v2"), mode="exact", **KW)
+
+    lz = lambda a: LazyRows(lambda i, j: a[i:j], a.shape, dtype=a.dtype)
+    co_x, dual_x = invert_from_model(
+        _da(lz(inc)), _da(lz(s0_co), name="sigma0"), _da(lz(s0_cr)),
+        ancillary_wind=_da(lz(anc)), dsig_cr=0.1,
+        model=("gmf_cmod5n", "gmf_s1_v2"), mode="exact", piece_size=1024,
+        **KW)
+    assert isinstance(co_x, DataArray)
+    assert co_x.dims == ("line", "sample")
+    np.testing.assert_array_equal(np.asarray(co_x.values), np.asarray(co_ref))
+    np.testing.assert_array_equal(np.asarray(dual_x.values),
+                                  np.asarray(dual_ref))

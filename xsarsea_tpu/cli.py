@@ -122,9 +122,13 @@ def cmd_invert(args):
         speeds = np.abs(wind)
     n = speeds.size
     valid = np.isfinite(speeds)
+    if valid.any():
+        summary = (f"{valid.mean():.1%} valid, mean speed "
+                   f"{np.nanmean(speeds[valid]):.2f} m/s")
+    else:
+        summary = "0% valid — no finite retrievals"
     print(f"inverted {n} px with {'+'.join(models)} -> {args.out} "
-          f"({valid.mean():.1%} valid, mean speed "
-          f"{np.nanmean(speeds[valid]):.2f} m/s)")
+          f"({summary})")
 
 
 def main(argv=None):

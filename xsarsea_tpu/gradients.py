@@ -496,14 +496,36 @@ class Gradients2D:
         self.window_step = window_step
         self._windows_at = windows_at
         self.n_angles = 72
-        self._lg = None
-        # (G2_abs, G2_angle, c) DimArrays injected by the multiscale
-        # Gradients fan-out — computed ONCE per (pol, downscale factor)
-        # in a pol-batched jitted program and shared across window sizes
-        self._lg_hist = None
+        self._lg_v = None
+        self._lg_hist_v = None
+        # bumped on every (re)assignment of _lg/_lg_hist — the histogram
+        # cache keys on it (an id()-based key could serve a stale result
+        # if a replaced object's id were recycled)
+        self._lg_gen = 0
         # last (windows_at fingerprint) -> histogram DimDataset, so
         # repeated .histogram reads don't re-run the device pipeline
         self._hist_cache = None
+
+    @property
+    def _lg(self):
+        return self._lg_v
+
+    @_lg.setter
+    def _lg(self, value):
+        self._lg_v = value
+        self._lg_gen += 1
+
+    @property
+    def _lg_hist(self):
+        """(G2_abs, G2_angle, c) DimArrays injected by the multiscale
+        Gradients fan-out — computed ONCE per (pol, downscale factor)
+        in a pol-batched jitted program and shared across window sizes."""
+        return self._lg_hist_v
+
+    @_lg_hist.setter
+    def _lg_hist(self, value):
+        self._lg_hist_v = value
+        self._lg_gen += 1
 
     @property
     def i2(self):
@@ -575,9 +597,10 @@ class Gradients2D:
         ]))
 
         at = self.windows_at
-        # id()s of the lg sources: injecting _lg_hist (multiscale) or
-        # computing .local_gradients after a cached call must invalidate
-        cache_key = (win, id(self._lg_hist), id(self._lg),
+        # generation of the lg sources: injecting _lg_hist (multiscale)
+        # or computing .local_gradients after a cached call must
+        # invalidate (a counter, not id()s — ids can be recycled)
+        cache_key = (win, self._lg_gen,
                      np.asarray(at["line"]).tobytes(),
                      np.asarray(at["sample"]).tobytes())
         if self._hist_cache is not None and self._hist_cache[0] == cache_key:

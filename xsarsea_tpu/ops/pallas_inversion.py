@@ -111,7 +111,8 @@ def nearest_index_near_uniform(grid, g0, step, values):
     """Nearest index on a near-uniform grid via candidate + local compare.
 
     The candidate cell comes from uniform-grid arithmetic (multiply +
-    floor on the least-squares (g0, step) fit); the decision compares the
+    floor on the endpoint (g0, step) fit of ``near_uniform_fit``); the
+    decision compares the
     TRUE grid values gathered at the 3 candidate cells with a strict
     first-minimum update — so the result bit-matches
     ``np.argmin(|grid - v|)`` on the actual grid (including the

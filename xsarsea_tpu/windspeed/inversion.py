@@ -990,18 +990,28 @@ _any_valid_dev = None
 def _any_valid(x):
     """True when ``x`` holds at least one non-NaN value.
 
-    Memory discipline: truly lazy/chunked inputs are assumed valid (the
-    per-pixel NaN guards downstream handle all-NaN anyway); jax arrays
-    reduce ON DEVICE (no d2h of the data); numpy arrays — including
-    scene-sized memmaps — scan in row blocks with early exit, so the
-    typical (mostly-valid) case touches O(block) and never allocates a
-    full-scene boolean temporary.
+    Memory discipline: jax arrays reduce ON DEVICE (no d2h of the data);
+    numpy arrays — including scene-sized memmaps — and lazy/chunked
+    inputs scan in row blocks with early exit, so the typical
+    (mostly-valid) case touches O(block) and never allocates a
+    full-scene boolean temporary. Chunked sources materialize one row
+    block at a time through the first-axis-slicing protocol; only a
+    truly all-NaN input reads every block — the price of making the
+    'copol inversion requires valid ancillary_wind' check as strict for
+    lazy inputs as for eager ones.
     """
     if x is None:
         return False
     data = _raw_data(x)
     if is_chunked(data):
-        return True
+        rest = 1
+        for s in data.shape[1:]:
+            rest *= int(s)
+        step = max(1, (1 << 22) // max(1, rest))
+        for r0 in range(0, int(data.shape[0]), step):
+            if np.any(~np.isnan(np.asarray(data[r0:r0 + step]))):
+                return True
+        return False
     if isinstance(data, jax.Array):
         global _any_valid_dev
         if _any_valid_dev is None:
