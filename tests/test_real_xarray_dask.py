@@ -147,3 +147,32 @@ def test_lazy_all_nan_ancillary_rejected_real_dask():
                 coords={"line": np.arange(H, dtype=float),
                         "sample": np.arange(W, dtype=float)}),
             model="gmf_cmod5n", mode="exact", **KW)
+
+
+def test_multipol_chunked_gradients_real_dask():
+    """3-D (pol, line, sample) dask-backed DataArray streams through
+    Gradients via virtual per-pol lazy views."""
+    from xsarsea_tpu.gradients import Gradients
+
+    rng = np.random.default_rng(7)
+    ny, nx = 192, 160
+    y, x = np.mgrid[0:ny, 0:nx]
+    base = np.abs(1.0 + 0.5 * np.sin(0.3 * (x + 0.5 * y))
+                  + 0.1 * rng.normal(size=(ny, nx))) + 0.01
+    img3 = np.stack([base, 0.25 * base])
+    coords = {"pol": np.array(["VV", "VH"]),
+              "line": np.arange(ny, dtype=float),
+              "sample": np.arange(nx, dtype=float)}
+
+    eager = Gradients(
+        xr.DataArray(img3, dims=("pol", "line", "sample"), coords=coords),
+        windows_sizes=[48], downscales_factors=[1]).histogram
+    lazy = Gradients(
+        xr.DataArray(da_mod.from_array(img3, chunks=(1, 32, nx)),
+                     dims=("pol", "line", "sample"), coords=coords),
+        windows_sizes=[48], downscales_factors=[1]).histogram
+
+    assert isinstance(lazy, xr.Dataset)
+    np.testing.assert_allclose(np.asarray(lazy["weight"].values),
+                               np.asarray(eager["weight"].values),
+                               rtol=1e-10, atol=1e-300)

@@ -356,3 +356,68 @@ def test_lazy_any_valid_early_exit():
 
     all_nan = LazyRows(lambda a, b: np.full((b - a, 64), np.nan), (128, 64))
     assert not _any_valid(all_nan)
+
+
+class Lazy3D:
+    """(pol, line, sample) duck chunked array with 2-axis basic slicing
+    and materialization counting — the multi-pol out-of-core fixture."""
+
+    def __init__(self, arr):
+        self._arr = np.asarray(arr)
+        self.shape = self._arr.shape
+        self.ndim = 3
+        self.dtype = self._arr.dtype
+        self.chunks = ((1,) * self.shape[0], (1,) * self.shape[1],
+                       (self.shape[2],))
+        self.max_request = 0
+
+    def __getitem__(self, idx):
+        block = np.asarray(self._arr[idx])
+        self.max_request = max(self.max_request, block.size)
+        return block
+
+
+def test_multipol_chunked_gradients_matches_eager():
+    """3-D (pol, line, sample) chunked sigma0 streams through Gradients
+    via virtual per-pol lazy views (VERDICT r3 item 6; reference fans out
+    dask-backed 3-D sigma0 lazily, gradients.py:279-300)."""
+    from xsarsea_tpu.gradients import Gradients
+
+    ny, nx = 256, 224
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    base = (1.0 + 0.4 * np.sin(0.3 * (xx + 0.7 * yy))
+            + 0.1 * rng.normal(size=(ny, nx))) ** 2
+    img3 = np.stack([base, 0.25 * base])
+    coords = {"pol": np.array(["VV", "VH"]),
+              "line": np.arange(ny, dtype=float),
+              "sample": np.arange(nx, dtype=float)}
+
+    eager = Gradients(DimArray(img3, dims=("pol", "line", "sample"),
+                               coords=coords),
+                      windows_sizes=[64], downscales_factors=[1]).histogram
+
+    lazy = Lazy3D(img3)
+    got = Gradients(DimArray(lazy, dims=("pol", "line", "sample"),
+                             coords=coords),
+                    windows_sizes=[64], downscales_factors=[1]).histogram
+
+    assert got["weight"].dims == eager["weight"].dims
+    np.testing.assert_allclose(np.asarray(got["weight"].data),
+                               np.asarray(eager["weight"].data),
+                               rtol=1e-10, atol=1e-300)
+    np.testing.assert_allclose(np.asarray(got["used_ratio"].data),
+                               np.asarray(eager["used_ratio"].data),
+                               rtol=1e-10)
+    # never materialized more than one pol's row band
+    assert 0 < lazy.max_request <= ny * nx
+
+
+def test_multipol_chunked_gradients_downscale_rejected():
+    """downscales_factors != 1 still needs the scene in memory."""
+    from xsarsea_tpu.gradients import Gradients
+
+    lazy = Lazy3D(np.ones((2, 64, 64)))
+    with pytest.raises(NotImplementedError, match="downscales_factors"):
+        Gradients(DimArray(lazy, dims=("pol", "line", "sample")),
+                  windows_sizes=[32], downscales_factors=[1, 2]).histogram

@@ -696,6 +696,34 @@ class StackedGradients:
         return DimDataset.concat([ref_hist] + aligned, dim="stacked")
 
 
+class _LazyPolSlice:
+    """2-D lazy row-sliceable view of one pol of a 3-D chunked array.
+
+    Presents the first-axis-slicing protocol (shape/ndim/dtype/chunks +
+    ``view[r0:r1]``) over rows of ONE pol of a (pol, line, sample)
+    chunked source, so the banded out-of-core streaks path can stream a
+    multi-pol scene pol by pol without ever materializing a full pol
+    plane (the reference fans out dask-backed 3-D sigma0 lazily,
+    gradients.py:279-300). Needs basic 2-axis slicing on the source —
+    dask, zarr, h5py and np.memmap all provide it.
+    """
+
+    def __init__(self, src, ip):
+        self._src = src
+        self._ip = int(ip)
+        self.shape = tuple(int(s) for s in src.shape[1:])
+        self.ndim = 2
+        self.dtype = np.dtype(src.dtype)
+        ch = getattr(src, "chunks", None)
+        self.chunks = (tuple(ch[1:]) if ch is not None and len(ch) == 3
+                       else ((self.shape[0],), (self.shape[1],)))
+
+    def __getitem__(self, idx):
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        return np.asarray(self._src[(self._ip,) + idx])
+
+
 class Gradients:
     """Multiscale, multi-resolution weighted direction histograms.
 
@@ -726,17 +754,23 @@ class Gradients:
             if "pol" not in sigma0.coords:
                 sigma0 = sigma0.assign_coords(pol=np.array(["pol0"]))
         if pol_slices is None:
-            if is_chunked(sigma0.data):
-                # the lazy protocol guarantees first-axis slicing only;
-                # pol-indexing a 3-D chunked array would materialize it
-                raise NotImplementedError(
-                    "multi-pol chunked input: pass each pol as its own "
-                    "2-D chunked array (Gradients2D), or load the scene "
-                    "in memory")
             pols = np.asarray(sigma0.coords.get(
                 "pol", np.arange(sigma0.sizes["pol"])))
-            pol_slices = [sigma0.isel(pol=ip)
-                          for ip in range(sigma0.sizes["pol"])]
+            if is_chunked(sigma0.data):
+                # multi-pol chunked scene: virtual 2-D lazy views per pol
+                # stream through the banded per-pol path (the source must
+                # support basic 2-axis slicing — dask/zarr/h5py/memmap do)
+                spatial = {k: v for k, v in sigma0.coords.items()
+                           if k != "pol"}
+                pol_slices = [
+                    DimArray(_LazyPolSlice(sigma0.data, ip),
+                             dims=("line", "sample"),
+                             coords=dict(spatial, pol=pols[ip]),
+                             attrs=sigma0.attrs)
+                    for ip in range(sigma0.sizes["pol"])]
+            else:
+                pol_slices = [sigma0.isel(pol=ip)
+                              for ip in range(sigma0.sizes["pol"])]
         self.sigma0 = sigma0
         self.windows_sizes = list(windows_sizes)
         self.downscales_factors = list(downscales_factors)
