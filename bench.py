@@ -88,13 +88,16 @@ def bench_gradients_class():
     """Full multiscale Gradients class rate (the user-facing fan-out).
 
     2 pols x 2 downscale factors x 2 window sizes on a 2048^2-per-pol
-    scene, including the windows_at alignment and stacking — not just the
-    single-scale fused core. Reported as input megapixels (base image x
-    pols) per second, steady state.
+    scene, including class construction, windows_at alignment and
+    stacking per rep — not just the single-scale fused core. Reported as
+    input megapixels (base image x pols) per second, steady state,
+    device-resident input (the same convention as the other rates: this
+    dev tunnel's h2d path collapses to tens of MB/s and would otherwise
+    time the tunnel, not the class).
     """
     import time
 
-    import jax
+    import jax.numpy as jnp
 
     from xsarsea_tpu.dimarray import DimArray
     from xsarsea_tpu.gradients import Gradients
@@ -106,7 +109,9 @@ def bench_gradients_class():
     base = np.abs(np.tile(tile, (ny // 256, nx // 256))
                   + 0.1 * rng.normal(size=(ny, nx))).astype(np.float32) + 0.01
     img = np.stack([base, 0.2 * base])
-    da = DimArray(img, dims=("pol", "line", "sample"),
+    img_d = jnp.asarray(img)
+    drain(img_d)
+    da = DimArray(img_d, dims=("pol", "line", "sample"),
                   coords={"pol": np.array(["VV", "VH"]),
                           "line": np.arange(ny) * 10.0,
                           "sample": np.arange(nx) * 10.0})
@@ -119,7 +124,7 @@ def bench_gradients_class():
         return h
 
     run()  # compile
-    reps = 2
+    reps = 3
     t0 = time.time()
     for _ in range(reps):
         run()

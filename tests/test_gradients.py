@@ -528,3 +528,51 @@ def test_hist_cache_invalidation_on_lg_reassign():
     assert not np.allclose(w_first, w_second)
     # all-zero |G2| -> every pixel masked out -> zero weights
     assert np.allclose(w_second, 0.0)
+
+
+def test_fused_histogram_matches_instance_path():
+    """The single-dispatch fused multiscale path must agree with the
+    per-instance (StackedGradients) path — same combos, same windows_at
+    snapping, same normalization (they are separately compiled programs,
+    so f64-ulp-level fusion differences are allowed)."""
+    img = streak_image(320, 288, angle_deg=40.0)
+    da = DimArray(np.stack([img, 0.3 * img]), dims=("pol", "line", "sample"),
+                  coords={"pol": np.array(["VV", "VH"]),
+                          "line": np.arange(320.0) * 5,
+                          "sample": np.arange(288.0) * 5})
+    kw = dict(windows_sizes=[400, 640], downscales_factors=[1, 2])
+
+    fused = Gradients(da, **kw).histogram
+    g2 = Gradients(da, **kw)
+    g2.gradients_list  # touching instances routes through the old path
+    inst = g2.histogram
+
+    assert fused["weight"].dims == inst["weight"].dims
+    for k in ("line", "sample", "angles", "downscale_factor", "window_size"):
+        np.testing.assert_array_equal(fused["weight"].coords[k],
+                                      inst["weight"].coords[k])
+    np.testing.assert_allclose(np.asarray(fused["weight"].data),
+                               np.asarray(inst["weight"].data),
+                               rtol=1e-9, atol=1e-300)
+    np.testing.assert_allclose(np.asarray(fused["used_ratio"].data),
+                               np.asarray(inst["used_ratio"].data),
+                               rtol=1e-9)
+
+
+def test_gradients_instance_mutation_honored():
+    """Reassigning an instance's windows_at after construction must
+    still be honored by .histogram (the fused path only applies while
+    gradients_list is untouched)."""
+    img = streak_image(256, 256)
+    da = DimArray(img[None], dims=("pol", "line", "sample"),
+                  coords={"pol": np.array(["VV"]),
+                          "line": np.arange(256.0),
+                          "sample": np.arange(256.0)})
+    g = Gradients(da, windows_sizes=[64], downscales_factors=[1])
+    at = {"line": np.array([64.0, 192.0]), "sample": np.array([128.0])}
+    for inst in g.gradients_list:
+        inst.windows_at = at
+    h = g.histogram
+    assert h["weight"].sizes["line"] == 2
+    assert h["weight"].sizes["sample"] == 1
+    np.testing.assert_array_equal(h["weight"].coords["line"], at["line"])
