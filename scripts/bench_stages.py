@@ -131,19 +131,25 @@ def main():
                            lambda *a: (s1_kernel(*a),), g4_dev, feats,
                            band_of_block)
 
-    # --- stage 2a: scatter + rebucket by (band, group)
+    # --- stage 2a: rebucket by (band, group) in stage-1 SLOT space (no
+    # scatter of the group to pixel order — the stage-1 permutation rides
+    # through the sort as the payload)
     @jax.jit
-    def s2_bucket(perm, gstar, i_inc):
+    def s2_bucket(perm, gstar, band_of_block):
         valid = perm >= 0
-        g0 = jnp.zeros((N,), jnp.int32).at[
-            jnp.where(valid, perm, N)].set(gstar, mode="drop")
-        key = i_inc * n_wgroups + g0
+        band_slot = jnp.broadcast_to(
+            band_of_block[:, None], (band_of_block.shape[0], block)
+        ).reshape(-1)
+        key_slot = jnp.where(valid, band_slot * n_wgroups + gstar,
+                             jnp.int32(n_inc * n_wgroups))
         perm2, key_of_block = bucket_by_band(
-            key, n_bands=n_inc * n_wgroups, block=SLAB_BLOCK)
+            key_slot, n_bands=n_inc * n_wgroups, block=SLAB_BLOCK,
+            values=perm)
         return perm2, key_of_block
 
-    (perm2, key_of_block), t_b2 = timed("2a scatter + rebucket", s2_bucket,
-                                        perm, gstar, i_inc)
+    (perm2, key_of_block), t_b2 = timed("2a rebucket (slot-space key)",
+                                        s2_bucket, perm, gstar,
+                                        band_of_block)
 
     # --- stage 2b: slab features + refine kernel
     @jax.jit
@@ -187,37 +193,49 @@ def main():
             s0cr, dsig_cr,
             jnp.where(has_co_f > 0, wspd_co_m, 0.0) * 0.5, has_co_f], axis=1)
         feats3 = jnp.where(valid3[:, None], pix3[pidx3], jnp.nan)
-        iwcr_r = crosspol_argmin_pallas(cr_pad, cr_whalf, feats3,
-                                        band_of_block, block=CR_BLOCK)
-        return flat, iwcr_r.reshape(-1)
+        wd_r = crosspol_argmin_pallas(cr_pad, cr_whalf, feats3,
+                                      band_of_block, block=CR_BLOCK)
+        return flat, wd_r.reshape(-1)
 
-    (flat, iwcr_r), t_k3 = timed("3  crosspol argmin (+decode)", s3_kernel,
-                                 cr_pad, cr_whalf, perm, band_of_block,
-                                 perm2, flat_r, s0co, s0cr, dsig_cr)
+    (flat, wd_r), t_k3 = timed("3  crosspol argmin (value out)", s3_kernel,
+                               cr_pad, cr_whalf, perm, band_of_block,
+                               perm2, flat_r, s0co, s0cr, dsig_cr)
 
-    # --- stage 4: postprocess (phi disambiguation, guards)
+    # --- stage 4: vectorized postprocess (sign-rule disambiguation,
+    # table trig, guards) — mirrors the production stage 4
     @jax.jit
-    def s4_post(flat, iwcr_r, perm, inc, s0co, s0cr, dsig_cr, anc_re, anc_im):
+    def s4_post(flat, wd_r, perm, inc, s0co, s0cr, dsig_cr, anc_re, anc_im):
         valid3 = perm >= 0
-        iwcr = jnp.zeros((N,), jnp.int32).at[
-            jnp.where(valid3, perm, N)].set(iwcr_r, mode="drop")
-        wspd_dual = cr_wspd_d[jnp.clip(iwcr, 0, cr_wspd_d.shape[0] - 1)]
-        iw, ip = flat // n_phi, flat % n_phi
-        wspd_co_raw = co_wspd_d[iw]
-        phir_raw = co_phir_d[ip]
+        wspd_dual = jnp.zeros((N,), wd_r.dtype).at[
+            jnp.where(valid3, perm, N)].set(wd_r, mode="drop")
+        dec = jnp.stack([
+            jnp.broadcast_to(co_wspd_d[:, None], (n_wspd, n_phi)).reshape(-1),
+            jnp.broadcast_to(jnp.cos(co_phir_d)[None, :],
+                             (n_wspd, n_phi)).reshape(-1),
+            jnp.broadcast_to(jnp.sin(co_phir_d)[None, :],
+                             (n_wspd, n_phi)).reshape(-1)], axis=1)
+        drow = dec[flat]
+        wspd_co_raw, cos_p, sin_p = drow[:, 0], drow[:, 1], drow[:, 2]
+        co_valid = ~jnp.isnan(s0co)
+        nan = jnp.float32(np.nan)
+        keep = anc_im * sin_p >= 0
+        sin_co = jnp.where(keep, sin_p, -sin_p)
+        wspd_co = jnp.where(co_valid, wspd_co_raw, nan)
+        co_re = wspd_co * cos_p
+        co_im = wspd_co * sin_co
+        has_co = ~jnp.isnan(wspd_co)
+        cr_valid = (~jnp.isnan(s0cr)) & (~jnp.isnan(dsig_cr))
+        dual_re = jnp.where(cr_valid,
+                            wspd_dual * jnp.where(has_co, cos_p, 1.0), nan)
+        dual_im = jnp.where(cr_valid,
+                            wspd_dual * jnp.where(has_co, sin_co, 0.0), nan)
+        anc_nan = jnp.isnan(anc_re) | jnp.isnan(anc_im)
+        guard = jnp.isnan(inc) | (co_valid & anc_nan)
+        return (jnp.where(guard, nan, co_re), jnp.where(guard, 0.0, co_im),
+                jnp.where(guard, nan, dual_re), jnp.where(guard, 0.0, dual_im))
 
-        def one_pixel(inc_p, s0_p, s0cr_p, dsigcr_p, are_p, aim_p,
-                      wco_p, phir_p, wdual_p):
-            phi_co = inv._disambiguate_phi(tables, phir_p, are_p, aim_p)
-            return inv._postprocess_pixel(tables, inc_p, s0_p, s0cr_p,
-                                          dsigcr_p, are_p, aim_p, wco_p,
-                                          phi_co, wspd_dual=wdual_p)
-
-        return jax.vmap(one_pixel)(inc, s0co, s0cr, dsig_cr, anc_re, anc_im,
-                                   wspd_co_raw, phir_raw, wspd_dual)
-
-    _, t_p = timed("4  postprocess vmap", s4_post, flat, iwcr_r, perm, inc,
-                   s0co, s0cr, dsig_cr, anc_re, anc_im)
+    _, t_p = timed("4  postprocess vectorized", s4_post, flat, wd_r, perm,
+                   inc, s0co, s0cr, dsig_cr, anc_re, anc_im)
 
     total = t_b1 + t_f1 + t_k1 + t_b2 + t_k2 + t_k3 + t_p
     print(f"{'sum of stages':34s} {total * 1e3:8.1f} ms   "

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from xsarsea_tpu.dimarray import DimArray
 from xsarsea_tpu.windspeed.inversion import InversionTables, invert_pixels
 from reference_runner import ref_invert
+from _parity import assert_equal_modulo_pi_ties
 
 
 def _tied_luts():
@@ -123,8 +124,7 @@ def test_tied_costs_pallas_matches_exact():
     co_p, dual_p = invert_pixels(tables, inc, s0_co_db, s0_cr_db, dsig_cr,
                                  anc, mode="pallas_interpret")
     for got, ref in ((co_p, co_e), (dual_p, dual_e)):
-        m = ~np.isnan(np.abs(np.asarray(ref)))
-        np.testing.assert_array_equal(np.asarray(got)[m], np.asarray(ref)[m])
+        assert_equal_modulo_pi_ties(got, ref)
 
 
 # ------------------------------------------------------- bucketing property
@@ -163,8 +163,14 @@ def test_bucket_by_band_property(seed):
     perm, bob = np.asarray(perm), np.asarray(bob)
     ref_perm, ref_bob = _bucket_reference(band, n_bands, block)
 
-    # occupied prefix matches the reference exactly
-    np.testing.assert_array_equal(perm[:len(ref_perm)], ref_perm)
+    # the occupied-slot PATTERN and each band's pixel SET match the
+    # reference; the within-band order is unspecified (the sort is
+    # unstable because no per-pixel result depends on its slot)
+    np.testing.assert_array_equal(perm[:len(ref_perm)] >= 0, ref_perm >= 0)
+    for b in range(n_bands):
+        sel = np.repeat(ref_bob == b, block)
+        sl, rl = perm[:len(ref_perm)][sel], ref_perm[sel]
+        np.testing.assert_array_equal(np.sort(sl[sl >= 0]), np.sort(rl[rl >= 0]))
     assert (perm[len(ref_perm):] == -1).all()
     np.testing.assert_array_equal(bob[:len(ref_bob)], ref_bob)
     # every pixel appears exactly once

@@ -178,13 +178,22 @@ def nearest_index_sorted(grid, values):
 
 
 @partial(jax.jit, static_argnames=("n_bands", "block"))
-def bucket_by_band(band, n_bands, block=DEFAULT_BLOCK):
+def bucket_by_band(band, n_bands, block=DEFAULT_BLOCK, values=None):
     """Group pixel indices by band into block-aligned buckets.
 
     Returns ``(perm, band_of_block)`` where ``perm`` has static length
     ``N + n_bands*block`` (-1 marks padding slots) and lists pixel indices
     ordered band-by-band, each band padded to a multiple of ``block``;
     ``band_of_block[b]`` is the (single) band of block ``b``.
+
+    ``values`` (default: iota) is the int32 payload carried through the
+    sort into ``perm``'s slots — pass an existing bucket permutation to
+    re-bucket it by a refined key WITHOUT first scattering the key back
+    to pixel order (the second sort of the two-stage pipeline reuses the
+    first stage's slot space this way). Entries whose ``band`` is >=
+    ``n_bands`` are sentinels: they sort past every real band and their
+    payload is never placed in a real band's slots (padding slots hold
+    -1 either from initialization or from a -1 sentinel payload).
 
     TPU cost note: everything per-pixel here is a sort, a cumsum, or one
     scatter. Per-band quantities (segment starts, padded offsets) come
@@ -196,12 +205,20 @@ def bucket_by_band(band, n_bands, block=DEFAULT_BLOCK):
     """
     n = band.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
-    ks, order = lax.sort((band.astype(jnp.int32), iota),
-                         is_stable=True, num_keys=1)
-    # lb[b] = first slot of band b in the sorted keys; counts via diff
-    lb = jnp.searchsorted(ks, jnp.arange(n_bands, dtype=jnp.int32)).astype(
-        jnp.int32)
-    counts = jnp.diff(lb, append=jnp.int32(n))
+    if values is None:
+        values = iota
+    # unstable: a pixel's result never depends on its slot within the
+    # bucket (per-lane argmin), and the unstable TPU sort measures ~25%
+    # faster (5.8 vs 7.7 ns/px at 8M)
+    ks, order = lax.sort((band.astype(jnp.int32), values),
+                         is_stable=False, num_keys=1)
+    # lb[b] = first slot of band b in the sorted keys; counts via diff.
+    # The extra n_bands entry is the first sentinel slot (= n when there
+    # are no sentinels), so sentinel entries never count into any band.
+    lb_ext = jnp.searchsorted(
+        ks, jnp.arange(n_bands + 1, dtype=jnp.int32)).astype(jnp.int32)
+    lb = lb_ext[:-1]
+    counts = jnp.diff(lb_ext)
     pad_counts = ((counts + block - 1) // block) * block
     pad_offsets = (jnp.cumsum(pad_counts) - pad_counts).astype(jnp.int32)
 
@@ -464,10 +481,15 @@ def _crosspol_kernel(band_ref, feats_ref, lut_ref, wh_ref, out_ref, *,
     j = ((lut - s0) / dsig) ** 2 + ((wh - wco2) ** 2) * has_co
     lane = lax.broadcasted_iota(jnp.int32, (block, wp), 1)
     gmin = jnp.min(j, axis=1, keepdims=True)
-    # all-NaN pixels (missing s0/dsig) never match -> _BIG_IDX, clipped
-    # by the caller and discarded by the NaN guards downstream
-    best = jnp.min(jnp.where(j == gmin, lane, _BIG_IDX), axis=1)
-    out_ref[...] = best.reshape(1, 1, block)
+    # first-minimum tie rule by INDEX (not value: the wspd grid need not
+    # be ascending), then emit the winning wspd VALUE (wh + wh == w
+    # exactly — halving is exact) so the caller scatters m/s directly
+    # with no pixel-order decode gather. All-NaN pixels (missing s0/
+    # dsig) never match gmin -> 0.0, discarded by the NaN guards.
+    best = jnp.min(jnp.where(j == gmin, lane, _BIG_IDX), axis=1,
+                   keepdims=True)
+    wbest = jnp.sum(jnp.where(lane == best, wh + wh, 0.0), axis=1)
+    out_ref[...] = wbest.reshape(1, 1, block)
 
 
 def crosspol_argmin_pallas(lut_pad, w_half, feats, band_of_block,
@@ -479,8 +501,8 @@ def crosspol_argmin_pallas(lut_pad, w_half, feats, band_of_block,
 
     lut_pad: (I, 1, Wp) f32; w_half: (1, Wp) f32; feats:
     (n_blocks*block, 4) f32; band_of_block: (n_blocks,) i32 crosspol
-    incidence slice per block. Returns (n_blocks, block) i32 wspd indices
-    (``_BIG_IDX`` for all-NaN pixels).
+    incidence slice per block. Returns (n_blocks, block) f32 winning
+    wspd VALUES in m/s (0.0 for all-NaN pixels, masked downstream).
     """
     n_blocks = band_of_block.shape[0]
     wp = lut_pad.shape[2]
@@ -502,7 +524,7 @@ def crosspol_argmin_pallas(lut_pad, w_half, feats, band_of_block,
     kernel = partial(_crosspol_kernel, block=block, wp=wp)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_blocks, 1, block), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 1, block), jnp.float32),
         interpret=interpret,
     )(band_of_block, feats, lut_pad, w_half).reshape(n_blocks, block)
 

@@ -592,14 +592,19 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
             block=block, interpret=interpret,
         ).reshape(-1)
 
-        g0 = jnp.zeros((n,), jnp.int32).at[
-            jnp.where(valid, perm, n)
-        ].set(gstar, mode="drop")
-
-        # --- stage 2: bucket by (band, wspd group), direct-form slab refine
-        key = i_inc * n_wgroups + g0
+        # --- stage 2: bucket by (band, wspd group), direct-form slab refine.
+        # The refined key is built in stage 1's SLOT space (band from the
+        # block metadata, group from the kernel output) and re-bucketed
+        # with the stage-1 permutation as payload — no scatter of the
+        # group back to pixel order, no pixel-order key rebuild.
+        band_slot = jnp.broadcast_to(
+            band_of_block[:, None], (band_of_block.shape[0], block)
+        ).reshape(-1)
+        key_slot = jnp.where(valid, band_slot * n_wgroups + gstar,
+                             jnp.int32(n_inc * n_wgroups))
         perm2, key_of_block = bucket_by_band(
-            key, n_bands=n_inc * n_wgroups, block=SLAB_BLOCK)
+            key_slot, n_bands=n_inc * n_wgroups, block=SLAB_BLOCK,
+            values=perm)
         valid2 = perm2 >= 0
         pidx2 = jnp.clip(perm2, 0)
         # slab-kernel features: (s0, ma/2, mz/2, 1/dsig) — see
@@ -630,14 +635,30 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
             jnp.where(valid2, perm2, n)
         ].set(flat_r, mode="drop")
         flat = jnp.clip(flat, 0, n_wspd * n_phi - 1)
-        iw, ip = flat // n_phi, flat % n_phi
-        wspd_co_raw = tables.co_wspd[iw]
+        # decode (wspd, cos phi, sin phi) with ONE (W*P, 3) row gather:
+        # packed row gathers measure ~8.4 ns/px on TPU vs ~14 ns/px for
+        # EACH scalar gather, so one packed lookup beats separate
+        # co_wspd[iw] / trig[ip] lookups by ~2.5x. Entries are the exact
+        # same values the separate gathers would return (bit-identical).
+        dec = jnp.stack(
+            [
+                jnp.broadcast_to(tables.co_wspd[:, None],
+                                 (n_wspd, n_phi)).reshape(-1),
+                jnp.broadcast_to(jnp.cos(tables.co_phir)[None, :],
+                                 (n_wspd, n_phi)).reshape(-1),
+                jnp.broadcast_to(jnp.sin(tables.co_phir)[None, :],
+                                 (n_wspd, n_phi)).reshape(-1),
+            ],
+            axis=1,
+        )
+        drow = dec[flat]
+        wspd_co_raw, cos_p, sin_p = drow[:, 0], drow[:, 1], drow[:, 2]
+        co_valid = ~jnp.isnan(s0_co_db)
 
         # --- stage 3: bucket by crosspol incidence band, 1-D wspd argmin
         # (a whole block shares one VMEM LUT row — replaces the per-pixel
         # row gather + argmin that dominated the XLA postprocess)
         if tables.has_cr:
-            co_valid = ~jnp.isnan(s0_co_db)
             wspd_co_m = jnp.where(co_valid, wspd_co_raw.astype(f32), jnp.nan)
             has_co_f = (~jnp.isnan(wspd_co_m)).astype(f32)
             if cr_same_inc:
@@ -659,33 +680,62 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
                 axis=1,
             )
             feats3 = jnp.where(valid3[:, None], pix3[pidx3], jnp.nan)
-            iwcr_r = crosspol_argmin_pallas(
+            # the kernel emits the winning wspd VALUE in m/s (f32): one
+            # f32 scatter replaces int scatter + pixel-order clip/gather
+            wd_r = crosspol_argmin_pallas(
                 cr_pad, cr_whalf, feats3, band3, block=CR_BLOCK,
                 interpret=interpret).reshape(-1)
-            iwcr = jnp.zeros((n,), jnp.int32).at[
+            wspd_dual = jnp.zeros((n,), wd_r.dtype).at[
                 jnp.where(valid3, perm3, n)
-            ].set(iwcr_r, mode="drop")
-            iwcr = jnp.clip(iwcr, 0, n_cr_wspd - 1)
-            wspd_dual = tables.cr_wspd[iwcr]
+            ].set(wd_r, mode="drop")
         else:
             wspd_dual = None
 
-        # --- postprocess (phi disambiguation, masking, NaN guards):
-        # everything left is elementwise + tiny gathers, one vmap pass
-        def one_pixel(inc_p, s0_p, s0cr_p, dsigcr_p, are_p, aim_p,
-                      wco_p, phir_p, wdual_p):
-            phi_co = _disambiguate_phi(tables, phir_p, are_p, aim_p)
-            return _postprocess_pixel(tables, inc_p, s0_p, s0cr_p, dsigcr_p,
-                                      are_p, aim_p, wco_p, phi_co,
-                                      wspd_dual=wdual_p)
+        # --- stage 4: vectorized postprocess (masking, NaN guards).
+        # No per-pixel trig: cos/sin of the solution came out of the
+        # packed decode gather above (bit-identical to cos/sin of the
+        # gathered phi — same op, same input bits), and the +-phi
+        # disambiguation rule d1 <= d2 with d = |wrap(anc_ang -+ phir)|
+        # collapses
+        # algebraically to one sign test: cos(anc - phi) - cos(anc + phi)
+        # = 2 sin(anc_ang) sin(phi) and sign(sin(anc_ang)) = sign(anc_im),
+        # so keep +phir iff anc_im * sin(phir) >= 0 (ties and the NaN
+        # ancillary case resolve exactly like the reference comparison:
+        # NaN compares False -> -phir). cos is even and sin odd, so the
+        # flip only negates the imaginary part.
+        nan = jnp.asarray(jnp.nan, dtype=inc.dtype)
+        if tables.phi_180:
+            keep = anc_im * sin_p >= 0
+            sin_co = jnp.where(keep, sin_p, -sin_p)
+        else:
+            sin_co = sin_p
+        wspd_co = jnp.where(co_valid, wspd_co_raw, nan)
+        co_re = wspd_co * cos_p
+        co_im = wspd_co * sin_co
 
-        phir_raw = tables.co_phir[ip]
-        # !has_cr: _postprocess_pixel never reads wspd_dual — nan filler
-        wdual_arg = (wspd_dual if wspd_dual is not None
-                     else jnp.full((n,), jnp.nan, dtype=inc.dtype))
-        return jax.vmap(one_pixel)(
-            inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im,
-            wspd_co_raw, phir_raw, wdual_arg)
+        if tables.has_cr:
+            # phi_dual = phi_co where copol solved, else 0 (cos 1, sin 0)
+            has_co = ~jnp.isnan(wspd_co)
+            cr_valid = (~jnp.isnan(s0_cr_db)) & (~jnp.isnan(dsig_cr))
+            dual_re = jnp.where(
+                cr_valid, wspd_dual * jnp.where(has_co, cos_p, 1.0), nan)
+            dual_im = jnp.where(
+                cr_valid, wspd_dual * jnp.where(has_co, sin_co, 0.0), nan)
+        else:
+            dual_re = jnp.full_like(co_re, jnp.nan)
+            dual_im = jnp.full_like(co_im, jnp.nan)
+
+        # NaN guards (windspeed.py:198-207): NaN incidence, or valid copol
+        # sigma0 with NaN ancillary -> real nan (-> nan+0j), matching the
+        # reference's nan vs nan*1j encoding (_postprocess_pixel).
+        anc_nan = jnp.isnan(anc_re) | jnp.isnan(anc_im)
+        guard = jnp.isnan(inc) | (co_valid & anc_nan)
+        return (
+            jnp.where(guard, nan, co_re),
+            jnp.where(guard, 0.0, co_im),
+            jnp.where(guard, nan, dual_re),
+            jnp.where(guard, 0.0, dual_im),
+        )
 
     if mesh is None:
         jitted = jax.jit(invert_flat)
