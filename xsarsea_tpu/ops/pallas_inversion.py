@@ -113,24 +113,32 @@ def nearest_index_near_uniform(grid, g0, step, values):
     The candidate cell comes from uniform-grid arithmetic (multiply +
     floor on the endpoint (g0, step) fit of ``near_uniform_fit``); the
     decision compares the
-    TRUE grid values gathered at the 3 candidate cells with a strict
+    TRUE grid values of the 3 candidate cells with a strict
     first-minimum update — so the result bit-matches
     ``np.argmin(|grid - v|)`` on the actual grid (including the
     lower-index tie rule the reference relies on, windspeed.py:212), for
-    any grid whose points deviate from the fit by < 0.4*step. Three
-    gathers per value instead of the vectorized binary search's
-    ~log2(n) — ~4x faster on TPU at 501-point grids.
+    any grid whose points deviate from the fit by < 0.4*step.
+
+    TPU cost: the 3 candidates come from ONE row gather of a packed
+    (n, 3) neighbour table (grid[k-1], grid[k], grid[k+1]) — a packed
+    row gather costs ~9.4 ns/px at 8.4 Mpx vs ~33 ns/px for three
+    separate scalar gathers (scalar gathers don't coalesce; this was
+    the single largest glue item in the inversion pipeline's stage 1a).
     """
     n = grid.shape[0]
+    ar = jnp.arange(n)
+    packed = jnp.stack([grid[jnp.clip(ar - 1, 0, n - 1)], grid,
+                        grid[jnp.clip(ar + 1, 0, n - 1)]], axis=1)
     k0 = jnp.clip(
         jnp.floor((values - g0) * jnp.asarray(1.0 / step, values.dtype)),
         0, n - 1,
     ).astype(jnp.int32)
+    rows = packed[k0]  # (..., 3)
     best_d = jnp.full_like(values, jnp.inf)
     best_k = jnp.zeros_like(k0)
-    for dk in (-1, 0, 1):
+    for lane, dk in enumerate((-1, 0, 1)):
         k = jnp.clip(k0 + dk, 0, n - 1)
-        d = jnp.abs(grid[k] - values)
+        d = jnp.abs(rows[..., lane] - values)
         better = d < best_d
         best_d = jnp.where(better, d, best_d)
         best_k = jnp.where(better, k, best_k)
