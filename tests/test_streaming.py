@@ -123,9 +123,17 @@ def test_host_staging_is_piece_bounded():
     n = ny * nx
     piece = 4096
 
-    # warm every jit/LUT cache outside the measured window
-    invert_from_model(inc[:8], s0_co[:8], s0_cr[:8], ancillary_wind=anc[:8],
-                      dsig_cr=dsig_cr[:8], model=MODEL, mode="exact", **KW)
+    # warm every jit/LUT cache outside the measured window. The lazy path
+    # compiles its own spec-wrapped program (wire format: stream presence +
+    # scalar-vs-array dsig), so the warm-up must be a lazy call with the
+    # same spec AND the same padded piece shape (jit re-traces per shape)
+    # — large enough to take the streamed multi-piece branch, not the
+    # single-piece fast path (which runs at the unpadded scene shape).
+    _, warm = _lazy_scene(96, 96)  # 9216 px > 1.5 * piece -> streams
+    invert_from_model(
+        warm["inc"], warm["s0_co"], warm["s0_cr"],
+        ancillary_wind=warm["anc"], dsig_cr=warm["dsig_cr"],
+        model=MODEL, mode="exact", piece_size=piece, **KW)
 
     tracemalloc.start()
     invert_from_model(

@@ -1,0 +1,121 @@
+"""Wire-format tests: stream skipping + on-device dB conversion.
+
+The streamed public-API path (_LazySource -> _invert_source) ships only
+the streams that exist: missing sigma0/ancillary streams are synthesized
+as NaN on device and a scalar dsig_cr ships as one 0-d scalar — both
+bit-identical to shipping the full arrays. On the f32 pallas path the
+sigma0 streams additionally ship LINEAR with the 10*log10(x+1e-15)
+conversion fused into the jitted pipeline (reference host prep:
+windspeed.py:126-130); that moves the conversion from host f64 to
+device f32, which may differ at f32-ulp scale in dB — asserted here to
+change at most ~one grid step on a vanishing fraction of pixels. The
+exact/f64 path always keeps host prep (bit parity with the reference is
+covered by test_inversion.py).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from xsarsea_tpu.windspeed.inversion import (
+    _invert_source,
+    _LazySource,
+    invert_pixels,
+    prepare_tables,
+)
+
+
+KW = dict(inc_step=1.0, wspd_step=0.5, phi_step=5.0)
+
+
+def _scene(n=4096, seed=0):
+    rng = np.random.default_rng(seed)
+    inc = rng.uniform(18.0, 47.0, n)
+    wspd = rng.uniform(0.5, 45.0, n)
+    phi = rng.uniform(0.0, 360.0, n)
+    s0_co = 10 ** (
+        (-25.0 + 16.0 * np.log10(wspd + 1.0) - 0.2 * (inc - 30.0)) / 10.0
+    ) * rng.uniform(0.8, 1.2, n)
+    s0_cr = 10 ** ((-35.0 + 0.6 * wspd - 0.1 * (inc - 30.0)) / 10.0)
+    anc = (wspd + rng.normal(0, 1.5, n)).clip(0.2) * np.exp(
+        1j * np.deg2rad(phi))
+    return inc, s0_co, s0_cr, anc
+
+
+def _db(x):
+    return 10.0 * np.log10(np.asarray(x, np.float64) + 1e-15)
+
+
+def test_stream_skip_bit_identical_to_full_streams():
+    """Missing streams + scalar dsig == explicit NaN/full streams (exact)."""
+    inc, _, s0_cr, _ = _scene()
+    tables = prepare_tables(None, "gmf_s1_v2", dtype=jnp.float64, **KW)
+
+    # mono crosspol: no copol stream, no ancillary, scalar dsig
+    src = _LazySource((inc.shape[0],), np.dtype(np.float64), inc,
+                      s0_cr=s0_cr, dsig_cr=0.1, device_db=False)
+    assert src.spec == (False, False, True, True, False)
+    co_s, dual_s = _invert_source(tables, src, mode="exact")
+
+    nanv = np.full_like(inc, np.nan)
+    co_f, dual_f = invert_pixels(tables, inc, nanv, _db(s0_cr),
+                                 np.full_like(inc, 0.1),
+                                 nanv + 0j, mode="exact")
+    np.testing.assert_array_equal(dual_s, dual_f)
+    np.testing.assert_array_equal(co_s, co_f)
+
+
+def test_scalar_dsig_multi_piece_padding():
+    """0-d dsig scalar survives tail-piece padding (multi-piece stream)."""
+    inc, s0_co, s0_cr, anc = _scene(n=2500)
+    tables = prepare_tables("gmf_cmod5n", "gmf_s1_v2", dtype=jnp.float64,
+                            **KW)
+    mk = lambda: _LazySource((2500,), np.dtype(np.float64), inc,
+                             s0_co=s0_co, s0_cr=s0_cr, dsig_cr=0.1,
+                             anc=anc, device_db=False)
+    one = _invert_source(tables, mk(), mode="exact")
+    many = _invert_source(tables, mk(), mode="exact", piece_size=1000)
+    for a, b in zip(many, one):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_device_db_auto_and_close_to_host_prep():
+    """f32 pallas path auto-enables device dB; results ~host-prep."""
+    inc, s0_co, s0_cr, anc = _scene(n=2048, seed=3)
+    tables = prepare_tables("gmf_cmod5n", "gmf_s1_v2", dtype=jnp.float32,
+                            **KW)
+    f32 = np.dtype(np.float32)
+
+    src_dev = _LazySource((2048,), f32, inc, s0_co=s0_co, s0_cr=s0_cr,
+                          dsig_cr=0.1, anc=anc)
+    assert src_dev.device_db is None
+    co_d, dual_d = _invert_source(tables, src_dev, mode="pallas_interpret")
+    assert src_dev.device_db is True  # auto-resolved by the f32 pallas path
+    # linear f32 on the wire, no host log10
+    piece = src_dev.piece(0, 8)
+    np.testing.assert_allclose(piece[1], s0_co[:8].astype(np.float32),
+                               rtol=0)
+
+    src_host = _LazySource((2048,), f32, inc, s0_co=s0_co, s0_cr=s0_cr,
+                           dsig_cr=0.1, anc=anc, device_db=False)
+    co_h, dual_h = _invert_source(tables, src_host, mode="pallas_interpret")
+    assert src_host.device_db is False  # explicit choice respected
+
+    for got, ref in ((co_d, co_h), (dual_d, dual_h)):
+        sg, sr = np.abs(got), np.abs(ref)
+        np.testing.assert_array_equal(np.isnan(sg), np.isnan(sr))
+        m = ~np.isnan(sr)
+        # f32-ulp dB differences flip at most one grid step, rarely
+        assert np.max(np.abs(sg[m] - sr[m])) <= 0.5 + 1e-6
+        assert np.mean(sg[m] != sr[m]) < 0.01
+
+
+def test_exact_mode_keeps_host_prep():
+    """The f64 exact path must not auto-enable device dB (ref parity)."""
+    inc, s0_co, _, anc = _scene(n=512, seed=5)
+    tables = prepare_tables("gmf_cmod5n", None, dtype=jnp.float64, **KW)
+    src = _LazySource((512,), np.dtype(np.float64), inc, s0_co=s0_co,
+                      dsig_cr=0.1, anc=anc)
+    _invert_source(tables, src, mode="exact")
+    assert src.device_db is False
+    # dB (host-converted) on the wire
+    piece = src.piece(0, 8)
+    np.testing.assert_array_equal(piece[1], _db(s0_co[:8]))

@@ -337,9 +337,13 @@ def _make_invert_fn(tables: InversionTables, chunk_size=256):
         return tuple(o.reshape(-1)[:n] for o in out)
 
     jitted = jax.jit(invert_flat)
+    # materialize at build time, NOT first call: run may be traced inside
+    # an outer jit (_wrap_for_spec), and a trace-time to_device() would
+    # store tracers in the tables' _device_full cache
+    tbl_dev = tables.to_device()
 
     def run(*args):
-        return jitted(tables.to_device(), *args)
+        return jitted(tbl_dev, *args)
 
     return run
 
@@ -763,7 +767,51 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
     return run
 
 
-def _get_invert_fn(tables, chunk_size, mode="exact", dsig_co=0.1):
+def _wrap_for_spec(fn, spec):
+    """Adapt the canonical 6-stream invert fn to a :class:`_LazySource` spec.
+
+    Reconstructs the canonical (inc, s0_co_db, s0_cr_db, dsig_cr, anc_re,
+    anc_im, dsig_co) arguments from only the streams the source actually
+    ships: missing streams become device-side NaN fills (bit-identical to
+    shipping NaN arrays), a scalar dsig_cr broadcasts on device, and with
+    ``device_db`` the sigma0 streams arrive linear and convert to dB here
+    — inside the jit, where XLA fuses the elementwise log10 into the
+    pipeline's first pass. See _LazySource for the wire-format rationale.
+    """
+    device_db, has_co, has_cr, dsig_scalar, has_anc = spec
+
+    # Only the (cheap, elementwise) reconstruction is jitted here; the
+    # base fn stays its own compiled program. Nesting it inside this jit
+    # would close over the pallas path's packed LUT operands (~0.5 GB)
+    # as HLO *constants*, which the axon remote-compile service rejects
+    # (HTTP 413) — and the second dispatch is async anyway, so it
+    # overlaps device compute rather than adding wall time.
+    @jax.jit
+    def reconstruct(*args):
+        it = iter(args)
+        inc = next(it)
+        nanv = jnp.full(inc.shape, jnp.nan, dtype=inc.dtype)
+
+        def db(x):
+            if not device_db:
+                return x
+            return 10.0 * jnp.log10(x + jnp.asarray(1e-15, x.dtype))
+
+        s0_co = db(next(it)) if has_co else nanv
+        s0_cr = db(next(it)) if has_cr else nanv
+        dsig = next(it)
+        if dsig_scalar:
+            dsig = jnp.broadcast_to(dsig, inc.shape)
+        anc_re, anc_im = (next(it), next(it)) if has_anc else (nanv, nanv)
+        return inc, s0_co, s0_cr, dsig, anc_re, anc_im
+
+    def wrapped(*args):
+        return fn(*reconstruct(*args[:-1]), args[-1])
+
+    return wrapped
+
+
+def _get_invert_fn(tables, chunk_size, mode="exact", dsig_co=0.1, spec=None):
     # The compiled-closure cache lives ON the tables instance, so its
     # lifetime is tied to the tables it was built from (an id()-keyed
     # global dict can hand a stale closure to a new object that reuses a
@@ -772,11 +820,15 @@ def _get_invert_fn(tables, chunk_size, mode="exact", dsig_co=0.1):
     if mode.startswith("pallas"):
         # the pallas path is unchunked (its postprocess is elementwise);
         # chunk_size must not split its cache at all
-        key = (mode, float(dsig_co))
+        key = (mode, float(dsig_co), spec)
     else:
-        key = (chunk_size, mode, None)
+        key = (chunk_size, mode, None, spec)
     if key not in cache:
-        if mode == "exact":
+        if spec is not None:
+            base = _get_invert_fn(tables, chunk_size, mode=mode,
+                                  dsig_co=dsig_co)
+            cache[key] = _wrap_for_spec(base, spec)
+        elif mode == "exact":
             cache[key] = _make_invert_fn(tables, chunk_size)
         elif mode.startswith("pallas"):
             cache[key] = _make_pallas_invert_fn(
@@ -838,10 +890,22 @@ class _LazySource:
     and accepting lazy/chunked inputs that never fit in memory at once.
     ``s0_co``/``s0_cr``/``anc`` may be None (NaN streams); ``dsig_cr``
     may be a scalar.
+
+    Wire format (``spec``): missing streams are never shipped — the jit
+    wrapper synthesizes the NaN fills on device (bit-identical, zero
+    bytes on the wire) — and a scalar ``dsig_cr`` ships as one 0-d
+    scalar instead of a broadcast full-scene stream. With ``device_db``
+    set (the f32 pallas path), sigma0 ships LINEAR and the
+    ``10*log10(x + 1e-15)`` conversion runs inside the jitted pipeline:
+    same bytes but the host log10 (the bulk of host prep) disappears;
+    results can differ from the host-f64-prep path at f32-ulp scale in
+    dB, which the default mode's coarse+refine search absorbs (the f64
+    exact path always keeps host prep, preserving reference parity).
+    Dual-pol + scalar dsig: 24 -> 20 B/px; mono-pol copol: 24 -> 16.
     """
 
     def __init__(self, shape, np_dtype, inc, s0_co=None, s0_cr=None,
-                 dsig_cr=0.1, anc=None):
+                 dsig_cr=0.1, anc=None, device_db=None):
         self.shape = tuple(int(s) for s in shape)
         self.np_dtype = np_dtype
         self.n = 1
@@ -849,43 +913,49 @@ class _LazySource:
             self.n *= s
         self.inc, self.s0_co, self.s0_cr = inc, s0_co, s0_cr
         self.dsig_cr, self.anc = dsig_cr, anc
+        self.device_db = device_db
+
+    @property
+    def spec(self):
+        return (bool(self.device_db), self.s0_co is not None,
+                self.s0_cr is not None, np.ndim(self.dsig_cr) == 0,
+                self.anc is not None)
 
     def _db(self, arr, lo, hi):
-        if arr is None:
-            return np.full(hi - lo, np.nan, dtype=self.np_dtype)
+        if self.device_db:  # ship linear; log10 runs on device (f32)
+            return np.ascontiguousarray(
+                _flat_slice(arr, self.shape, lo, hi), dtype=self.np_dtype)
         x = _flat_slice(arr, self.shape, lo, hi).astype(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             x = 10.0 * np.log10(x + 1e-15)
         return np.ascontiguousarray(x, dtype=self.np_dtype)
 
     def piece(self, lo, hi):
-        m = hi - lo
-        inc = np.ascontiguousarray(
-            _flat_slice(self.inc, self.shape, lo, hi), dtype=self.np_dtype)
-        s0_co = self._db(self.s0_co, lo, hi)
-        s0_cr = self._db(self.s0_cr, lo, hi)
-        if np.ndim(self.dsig_cr) == 0:
-            dsig = np.full(m, float(np.asarray(self.dsig_cr)),
-                           dtype=self.np_dtype)
+        out = [np.ascontiguousarray(
+            _flat_slice(self.inc, self.shape, lo, hi), dtype=self.np_dtype)]
+        if self.s0_co is not None:
+            out.append(self._db(self.s0_co, lo, hi))
+        if self.s0_cr is not None:
+            out.append(self._db(self.s0_cr, lo, hi))
+        if np.ndim(self.dsig_cr) == 0:  # 0-d scalar: broadcast on device
+            out.append(np.asarray(float(np.asarray(self.dsig_cr)),
+                                  dtype=self.np_dtype))
         elif tuple(np.shape(self.dsig_cr)) == self.shape:
-            dsig = np.ascontiguousarray(
+            out.append(np.ascontiguousarray(
                 _flat_slice(self.dsig_cr, self.shape, lo, hi),
-                dtype=self.np_dtype)
+                dtype=self.np_dtype))
         else:  # broadcastable shape (e.g. per-row): numpy view, O(piece) copy
-            dsig = np.ascontiguousarray(
+            out.append(np.ascontiguousarray(
                 _flat_slice(np.broadcast_to(
                     np.asarray(self.dsig_cr), self.shape), self.shape, lo, hi),
-                dtype=self.np_dtype)
-        if self.anc is None:
-            anc_re = np.full(m, np.nan, dtype=self.np_dtype)
-            anc_im = np.full(m, np.nan, dtype=self.np_dtype)
-        else:
+                dtype=self.np_dtype))
+        if self.anc is not None:
             a = _flat_slice(self.anc, self.shape, lo, hi)
-            anc_re = np.ascontiguousarray(a.real, dtype=self.np_dtype)
-            anc_im = np.ascontiguousarray(
+            out.append(np.ascontiguousarray(a.real, dtype=self.np_dtype))
+            out.append(np.ascontiguousarray(
                 a.imag if np.iscomplexobj(a) else np.zeros_like(a),
-                dtype=self.np_dtype)
-        return [inc, s0_co, s0_cr, dsig, anc_re, anc_im]
+                dtype=self.np_dtype))
+        return out
 
 
 def _invert_source(tables: InversionTables, source, dsig_co=0.1,
@@ -909,7 +979,16 @@ def _invert_source(tables: InversionTables, source, dsig_co=0.1,
             else "exact"
         )
     dtype = tables.dtype
-    fn = _get_invert_fn(tables, chunk_size, mode=mode, dsig_co=dsig_co)
+    # f32 pallas path: ship linear sigma0 and convert to dB on device
+    # (the exact/f64 path keeps the reference's host prep for bit
+    # parity). device_db=None means auto; an explicit False/True from
+    # the constructor is respected.
+    if isinstance(source, _LazySource) and source.device_db is None:
+        source.device_db = (mode.startswith("pallas") and
+                            np.dtype(jnp.dtype(dtype).name) == np.float32)
+    spec = getattr(source, "spec", None)
+    fn = _get_invert_fn(tables, chunk_size, mode=mode, dsig_co=dsig_co,
+                        spec=spec)
     dsig_dev = jnp.asarray(dsig_co, dtype=dtype)
     n = source.n
     ctype = np.complex128 if dtype == jnp.float64 else np.complex64
@@ -933,7 +1012,8 @@ def _invert_source(tables: InversionTables, source, dsig_co=0.1,
         piece = source.piece(lo, hi)
         if hi - lo < _PIECE:  # pad the tail piece: one jit shape only
             piece = [np.pad(a, (0, _PIECE - (hi - lo)),
-                            constant_values=np.nan) for a in piece]
+                            constant_values=np.nan) if a.ndim else a
+                     for a in piece]
         return [jnp.asarray(a) for a in piece]
 
     offsets = list(range(0, n, _PIECE))
