@@ -127,6 +127,14 @@ class InversionTables:
             self.co_phir = phir.astype(np_dtype)
 
         if self.has_cr:
+            if np.ndim(lut_cr_db.data) != 2:
+                # a phi-dependent (copol) model slipped into the crosspol
+                # slot; fail with the actual mistake instead of a shape
+                # unpack error deep in the kernel builders
+                raise ValueError(
+                    "crosspol model LUT must be 2-D (incidence, wspd); got "
+                    f"{np.shape(lut_cr_db.data)} — was a copol "
+                    "(phi-dependent) model passed as the crosspol model?")
             self.cr_lut = np.ascontiguousarray(lut_cr_db.data, dtype=np_dtype)
             self.cr_inc = np.asarray(lut_cr_db.coords["incidence"], dtype=np_dtype)
             self.cr_wspd = np.asarray(lut_cr_db.coords["wspd"], dtype=np_dtype)
