@@ -429,3 +429,49 @@ def test_multipol_chunked_gradients_downscale_rejected():
     with pytest.raises(NotImplementedError, match="downscales_factors"):
         Gradients(DimArray(lazy, dims=("pol", "line", "sample")),
                   windows_sizes=[32], downscales_factors=[1, 2]).histogram
+
+
+def test_lazy_direct_gmf_evaluation():
+    """GmfModel.__call__ on chunked N-D inputs stays lazy (reference keeps
+    dask inputs lazy via da.broadcast_arrays, gmfs.py:293-316): the result
+    is itself a chunked duck array evaluated block-wise on demand."""
+    from xsarsea_tpu.dimarray import is_chunked
+    from xsarsea_tpu.models import get_model
+
+    m = get_model("gmf_cmod5n")
+    ny, nx = 64, 80
+    rng = np.random.default_rng(7)
+    inc = rng.uniform(18, 47, (ny, nx))
+    wspd = rng.uniform(0.5, 45, (ny, nx))
+    phi = rng.uniform(0, 360, (ny, nx))
+
+    l_inc = LazyRows(lambda a, b: inc[a:b], inc.shape)
+    l_wspd = LazyRows(lambda a, b: wspd[a:b], wspd.shape)
+
+    out = m(l_inc, l_wspd, phi)
+    assert is_chunked(out)           # result is lazy, not materialized
+    assert out.shape == (ny, nx)
+    assert l_inc.max_request == 0    # nothing touched yet
+
+    eager = np.asarray(m(inc, wspd, phi))
+    blk = out[3:9]                   # block pull evaluates only that band
+    np.testing.assert_array_equal(blk, eager[3:9])
+    assert 0 < l_inc.max_request <= 6 * nx
+
+    np.testing.assert_array_equal(np.asarray(out), eager)
+
+    # small broadcast operand: 1-row chunked phi against full-shape others
+    l_phi = LazyRows(lambda a, b: phi[:1][a:b], (1, nx))
+    out2 = m(l_inc, l_wspd, l_phi)
+    eager2 = np.asarray(m(inc, wspd, np.broadcast_to(phi[:1], (ny, nx))))
+    np.testing.assert_array_equal(np.asarray(out2), eager2)
+
+    # DimArray wrapping keeps the payload lazy
+    da = DimArray(LazyRows(lambda a, b: inc[a:b], inc.shape),
+                  dims=("line", "sample"))
+    res = m(da, wspd, phi)
+    assert isinstance(res, DimArray) and is_chunked(res.data)
+
+    # streaming consumers can slice it, strided access is rejected
+    with pytest.raises(IndexError, match="strided"):
+        out[::2]

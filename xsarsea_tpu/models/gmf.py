@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from xsarsea_tpu.dimarray import DimArray
+from xsarsea_tpu.dimarray import DimArray, is_chunked
 from xsarsea_tpu.models.base import Model, _grid
 
 logger = logging.getLogger("xsarsea_tpu.models.gmf")
@@ -32,6 +32,77 @@ def _float_dtype():
 
 def _cpu_device():
     return jax.devices("cpu")[0]
+
+
+class _LazyGmfEval:
+    """Lazy block-evaluated GMF result over chunked broadcast inputs.
+
+    The reference keeps direct GMF evaluation on dask inputs lazy via
+    ``da.broadcast_arrays`` + the numba ufunc (gmfs.py:293-316). The
+    TPU-native equivalent is this duck chunked array: it satisfies the
+    package-wide lazy protocol (``shape``/``ndim``/``dtype``/``chunks``
+    + numpy-style first-axis slicing, see ``is_chunked``) and evaluates
+    the jitted GMF on row blocks only when a block is requested — the
+    full result never materializes unless the caller asks for it
+    (``np.asarray``), and downstream streaming consumers (the inversion
+    source, detrend, banded gradients) can pull it piece-wise.
+    """
+
+    _BLOCK_ELEMS = 1 << 22
+
+    def __init__(self, eval_fn, raws, shape, dtype):
+        self._eval_fn = eval_fn  # jitted broadcast eval over prepared args
+        self._raws = raws  # (inc, wspd, phi) raw data objects (phi may be None)
+        self.shape = tuple(int(s) for s in shape)
+        self.ndim = len(self.shape)
+        self.dtype = np.dtype(jnp.dtype(dtype).name)
+        self._small = {}  # materialized non-full-shape chunked inputs
+        row = 1
+        for s in self.shape[1:]:
+            row *= s
+        rows = max(1, self._BLOCK_ELEMS // max(row, 1))
+        n0 = self.shape[0] if self.shape else 1
+        self.chunks = (tuple(
+            min(rows, n0 - lo) for lo in range(0, n0, rows)
+        ),) + tuple((s,) for s in self.shape[1:])
+
+    def _block(self, raw, lo, hi):
+        if raw is None:
+            return None
+        if is_chunked(raw) and tuple(raw.shape) == self.shape:
+            return np.asarray(raw[lo:hi])
+        if is_chunked(raw):  # broadcast input smaller than the result:
+            # materialize once (it is the small operand) and reuse
+            key = id(raw)
+            if key not in self._small:
+                # the lazy protocol guarantees first-axis slicing only
+                self._small[key] = np.asarray(raw[0:raw.shape[0]])
+            raw = self._small[key]
+        return np.broadcast_to(np.asarray(raw), self.shape)[lo:hi]
+
+    def __getitem__(self, idx):
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        if not (idx and isinstance(idx[0], slice) and
+                all(s == slice(None) for s in idx[1:])):
+            raise IndexError(
+                "lazy GMF result supports first-axis slicing only; "
+                "np.asarray() it for random access")
+        lo, hi, step = idx[0].indices(self.shape[0])
+        if step != 1:
+            raise IndexError("lazy GMF result does not support strided slices")
+        blocks = [self._block(r, lo, hi) for r in self._raws]
+        args = [jnp.asarray(b, dtype=self.dtype) if b is not None else None
+                for b in blocks]
+        return np.asarray(self._eval_fn(*args), dtype=self.dtype)
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.empty(self.shape, dtype=self.dtype)
+        lo = 0
+        for rows in self.chunks[0]:
+            out[lo:lo + rows] = self[lo:lo + rows]
+            lo += rows
+        return out if dtype is None else out.astype(dtype)
 
 
 class GmfModel(Model):
@@ -164,6 +235,22 @@ class GmfModel(Model):
 
         if broadcast:
             template = next((v for v in (inc, wspd, phi) if isinstance(v, DimArray)), None)
+            raws = [v.data if isinstance(v, DimArray) else v
+                    for v in (inc, wspd, phi)]
+            if not self._needs_phi:
+                raws[2] = None
+            if any(r is not None and is_chunked(r) for r in raws):
+                # chunked/lazy inputs stay lazy (reference gmfs.py:293-316
+                # via da.broadcast_arrays): block-evaluated on demand
+                shape = np.broadcast_shapes(
+                    *(np.shape(r) for r in raws if r is not None))
+                out = _LazyGmfEval(self._jit_broadcast, tuple(raws),
+                                   shape, dtype)
+                if template is not None:
+                    res = template.copy(data=out)
+                    res.attrs = {"units": self.units}
+                    return res
+                return out
             out = self._jit_broadcast(prep(inc), prep(wspd),
                                       prep(phi) if self._needs_phi else None)
             out = jnp.broadcast_to(
