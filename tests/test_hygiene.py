@@ -42,6 +42,61 @@ def test_get_test_file_local_short_circuit(tmp_path, monkeypatch):
     assert u.get_test_file(fname) == str(tmp_path / fname)
 
 
+def test_get_test_file_file_url_and_unzip(tmp_path, monkeypatch):
+    # protocol-flexible fetch: a file:// test_data_url works offline
+    # through the urllib fallback, and the zip is extracted to data_dir
+    import zipfile
+
+    import xsarsea_tpu.utils as u
+
+    src = tmp_path / "server"
+    src.mkdir()
+    with zipfile.ZipFile(src / "fix.zip", "w") as zf:
+        zf.writestr("fix/a.txt", "payload")
+    data = tmp_path / "data"
+    data.mkdir()
+    monkeypatch.setattr(u, "load_config", lambda: {
+        "data_dir": str(data), "test_data_url": src.as_uri()})
+    with pytest.warns(UserWarning, match="Downloading"):
+        out = u.get_test_file("fix")
+    assert out == str(data / "fix")
+    assert (data / "fix" / "a.txt").read_text() == "payload"
+
+
+def test_get_test_file_fsspec_filecache(tmp_path, monkeypatch):
+    # when fsspec is importable, the download goes through
+    # fsspec.open("filecache::<url>") with cache_storage under data_dir
+    # (reference utils.py:83-95 semantics)
+    import contextlib
+    import sys
+    import types
+    import zipfile
+
+    import xsarsea_tpu.utils as u
+
+    blob = tmp_path / "fix.zip"
+    with zipfile.ZipFile(blob, "w") as zf:
+        zf.writestr("fix/b.txt", "cached")
+    seen = {}
+
+    def fake_open(url, **kw):
+        seen["url"], seen["kw"] = url, kw
+        return contextlib.closing(open(blob, "rb"))
+
+    monkeypatch.setitem(sys.modules, "fsspec",
+                        types.SimpleNamespace(open=fake_open))
+    data = tmp_path / "data2"
+    data.mkdir()
+    monkeypatch.setattr(u, "load_config", lambda: {"data_dir": str(data)})
+    with pytest.warns(UserWarning, match="Downloading"):
+        out = u.get_test_file("fix")
+    assert out == str(data / "fix")
+    assert (data / "fix" / "b.txt").read_text() == "cached"
+    assert seen["url"].startswith("filecache::https://")
+    assert seen["kw"]["filecache"]["cache_storage"] == str(
+        data / "fsspec_cache")
+
+
 def test_get_test_file_missing_raises(tmp_path, monkeypatch):
     import xsarsea_tpu.utils as u
 

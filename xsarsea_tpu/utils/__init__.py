@@ -73,9 +73,14 @@ def get_test_file(fname, iszip=True):
     """Fetch a test file from the IFREMER xsardata server and unzip it.
 
     API-compatible with ``xsarsea.utils.get_test_file`` (reference
-    utils.py:46-97). In network-less environments this raises a clear
-    RuntimeError if the file is not already present under
-    ``config['data_dir']``.
+    utils.py:46-97). Like the reference, when ``fsspec`` is importable
+    the download goes through ``fsspec.open("filecache::<url>")`` — the
+    zip archive is kept in ``<data_dir>/fsspec_cache`` so re-extraction
+    never re-downloads, and any protocol fsspec understands works for a
+    ``test_data_url`` config override (s3://, gs://, file://, ...).
+    Without fsspec, plain https via urllib. In network-less environments
+    this raises a clear RuntimeError if the file is not already present
+    under ``config['data_dir']``.
     """
     config = load_config()
     res_path = config["data_dir"]
@@ -83,18 +88,40 @@ def get_test_file(fname, iszip=True):
     if os.path.exists(local):
         return local
 
-    base_url = "https://cyclobs.ifremer.fr/static/sarwing_datarmor/xsardata"
+    base_url = config.get(
+        "test_data_url",
+        "https://cyclobs.ifremer.fr/static/sarwing_datarmor/xsardata")
     url = f"{base_url}/{fname}" + (".zip" if iszip else "")
     try:
-        import urllib.request
-
+        try:
+            import fsspec
+        except ImportError:
+            fsspec = None
         warnings.warn(f"Downloading {url}")
-        tmp = local + (".zip" if iszip else "")
-        urllib.request.urlretrieve(url, tmp)
-        if iszip:
-            with zipfile.ZipFile(tmp, "r") as zf:
-                zf.extractall(res_path)
-            os.unlink(tmp)
+        if fsspec is not None:
+            # filecache:: keeps the archive in data_dir/fsspec_cache
+            # (reference utils.py:83-95 semantics)
+            with fsspec.open(
+                f"filecache::{url}",
+                filecache={"cache_storage":
+                           os.path.join(res_path, "fsspec_cache")},
+            ) as f:
+                if iszip:
+                    with zipfile.ZipFile(f, "r") as zf:
+                        zf.extractall(res_path)
+                else:
+                    with open(local, "wb") as out:
+                        while chunk := f.read(1 << 22):
+                            out.write(chunk)
+        else:
+            import urllib.request
+
+            tmp = local + (".zip" if iszip else "")
+            urllib.request.urlretrieve(url, tmp)
+            if iszip:
+                with zipfile.ZipFile(tmp, "r") as zf:
+                    zf.extractall(res_path)
+                os.unlink(tmp)
     except Exception as e:  # pragma: no cover - network dependent
         raise RuntimeError(
             f"test file '{fname}' not found locally at {local} and download failed ({e}). "
