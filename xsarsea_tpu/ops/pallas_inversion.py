@@ -538,7 +538,8 @@ def crosspol_argmin_pallas(lut_pad, w_half, feats, band_of_block,
 
 
 def _slab_kernel(sband_ref, srow0_ref, vmask_ref, feats_ref, lut_ref, u_ref,
-                 v_ref, out_ref, *, block, pp, n_phi_true, n_rows):
+                 v_ref, out_ref, *, block, pp, n_phi_true, n_rows,
+                 rows_per_iter=8):
     """Per block: direct-form cost over a (n_rows, Pp) LUT slab.
 
     Single sweep over rows keeps, per (pixel, phi-lane), the running min
@@ -557,11 +558,12 @@ def _slab_kernel(sband_ref, srow0_ref, vmask_ref, feats_ref, lut_ref, u_ref,
     def _run():
         _slab_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
                     out_ref, block=block, pp=pp, n_phi_true=n_phi_true,
-                    n_rows=n_rows)
+                    n_rows=n_rows, rows_per_iter=rows_per_iter)
 
 
 def _slab_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
-                out_ref, *, block, pp, n_phi_true, n_rows):
+                out_ref, *, block, pp, n_phi_true, n_rows,
+                rows_per_iter=8):
     # srow0 is always 8-aligned: WGROUP and the margins are multiples of 8
     # and both clip bounds are too (build_direct_arrays pads Wp to 8)
     r0 = pl.multiple_of(srow0_ref[b], 8)
@@ -581,23 +583,29 @@ def _slab_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
     # rows in blocks of 8: one aligned (8, pp) VMEM slice per operand per
     # block, rows then peeled in-register (3 dynamic slices per 8 rows
     # instead of per row); full unroll of the whole slab would keep all
-    # 64 rows' slices live and overflow scoped VMEM.
+    # 64 rows' slices live and overflow scoped VMEM. ``rows_per_iter``
+    # (a multiple of 8) partially unrolls the fori_loop body — the
+    # per-row fp op sequence is IDENTICAL for every value, only the
+    # trip count changes, so results are bit-equal across settings.
     def body(k, carry):
         m, a = carry
-        lr8 = lut_ref[0, pl.ds(r0 + k * 8, 8), :]  # (8, pp)
-        ur8 = u_ref[pl.ds(r0 + k * 8, 8), :]
-        vr8 = v_ref[pl.ds(r0 + k * 8, 8), :]
-        for i in range(8):
-            lr = lax.slice_in_dim(lr8, i, i + 1, axis=0)  # (1, pp)
-            ur = lax.slice_in_dim(ur8, i, i + 1, axis=0)
-            vr = lax.slice_in_dim(vr8, i, i + 1, axis=0)
-            j = ((lr - s0) * inv_dsig) ** 2 + (ur - ma2) ** 2 + (vr - mz2) ** 2
-            better = j < m  # strict: keeps the first (lowest-row) min
-            m = jnp.minimum(m, j)
-            a = jnp.where(better, r0 + k * 8 + i, a)
+        for sub in range(rows_per_iter // 8):
+            base = k * rows_per_iter + sub * 8
+            lr8 = lut_ref[0, pl.ds(r0 + base, 8), :]  # (8, pp)
+            ur8 = u_ref[pl.ds(r0 + base, 8), :]
+            vr8 = v_ref[pl.ds(r0 + base, 8), :]
+            for i in range(8):
+                lr = lax.slice_in_dim(lr8, i, i + 1, axis=0)  # (1, pp)
+                ur = lax.slice_in_dim(ur8, i, i + 1, axis=0)
+                vr = lax.slice_in_dim(vr8, i, i + 1, axis=0)
+                j = ((lr - s0) * inv_dsig) ** 2 + (ur - ma2) ** 2 \
+                    + (vr - mz2) ** 2
+                better = j < m  # strict: keeps the first (lowest-row) min
+                m = jnp.minimum(m, j)
+                a = jnp.where(better, r0 + base + i, a)
         return m, a
 
-    m, a = lax.fori_loop(0, n_rows // 8, body, (
+    m, a = lax.fori_loop(0, n_rows // rows_per_iter, body, (
         jnp.full((block, pp), jnp.inf, dtype=jnp.float32),
         jnp.full((block, pp), _BIG_IDX // n_phi_true, dtype=jnp.int32),
     ))
@@ -610,7 +618,7 @@ def _slab_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
 
 def slab_refine_pallas(lut_pad, u_pad, v_pad, feats, sband, srow0,
                        n_phi_true, block=SLAB_BLOCK, n_rows=SLAB_ROWS,
-                       interpret=False, valid_mask=None):
+                       interpret=False, valid_mask=None, rows_per_iter=8):
     """Direct-form argmin over per-block LUT slabs.
 
     Parameters
@@ -630,6 +638,8 @@ def slab_refine_pallas(lut_pad, u_pad, v_pad, feats, sband, srow0,
     """
     n_blocks = sband.shape[0]
     pp = lut_pad.shape[2]
+    if n_rows % rows_per_iter or rows_per_iter % 8:
+        raise ValueError("rows_per_iter must divide n_rows, multiple of 8")
     feats = feats.reshape(n_blocks, block, 4).transpose(0, 2, 1)
     if valid_mask is None:
         valid_mask = jnp.ones((n_blocks,), jnp.int32)
@@ -653,7 +663,8 @@ def slab_refine_pallas(lut_pad, u_pad, v_pad, feats, sband, srow0,
     )
 
     kernel = partial(_slab_kernel, block=block, pp=pp,
-                     n_phi_true=n_phi_true, n_rows=n_rows)
+                     n_phi_true=n_phi_true, n_rows=n_rows,
+                     rows_per_iter=rows_per_iter)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
