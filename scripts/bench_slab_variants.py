@@ -139,6 +139,9 @@ def main():
         outs[rpi] = np.asarray(out)
 
     base = outs.get(8)
+    if base is None:
+        print("no rows_per_iter=8 baseline — skipping bit-equality checks")
+        return
     for rpi, o in outs.items():
         # compare only real (non-dropped) slots: all-padding blocks are
         # skipped and their outputs undefined

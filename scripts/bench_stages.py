@@ -213,12 +213,18 @@ def main():
             jnp.broadcast_to(jnp.cos(co_phir_d)[None, :],
                              (n_wspd, n_phi)).reshape(-1),
             jnp.broadcast_to(jnp.sin(co_phir_d)[None, :],
+                             (n_wspd, n_phi)).reshape(-1),
+            jnp.broadcast_to(co_phir_d[None, :],
                              (n_wspd, n_phi)).reshape(-1)], axis=1)
         drow = dec[flat]
-        wspd_co_raw, cos_p, sin_p = drow[:, 0], drow[:, 1], drow[:, 2]
+        wspd_co_raw, cos_p, sin_p, phir_sol = (
+            drow[:, 0], drow[:, 1], drow[:, 2], drow[:, 3])
         co_valid = ~jnp.isnan(s0co)
         nan = jnp.float32(np.nan)
-        keep = anc_im * sin_p >= 0
+        anc_ang = jnp.arctan2(anc_im, anc_re)
+        d1 = jnp.abs(inv._wrap_angle(anc_ang - phir_sol))
+        d2 = jnp.abs(inv._wrap_angle(anc_ang + phir_sol))
+        keep = d1 <= d2
         sin_co = jnp.where(keep, sin_p, -sin_p)
         wspd_co = jnp.where(co_valid, wspd_co_raw, nan)
         co_re = wspd_co * cos_p

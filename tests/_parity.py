@@ -9,9 +9,11 @@ def assert_equal_modulo_pi_ties(got, ref, mask=None):
     and -phi are the same physical direction and the reference's d1<=d2
     angular comparison is an exact floating-point tie — the sign of the
     (~wspd*sin(pi_fp) ~ 1e-5) imaginary part is rounding noise. The
-    pallas postprocess resolves the tie with the algebraic sign rule
-    (anc_im*sin(phi) >= 0), which can pick the conjugate there. Accept
-    the conjugate for those pixels; everything else must be bit-equal.
+    fused pallas postprocess now replicates _disambiguate_phi's exact
+    op sequence, so these pixels normally agree bit-for-bit too; the
+    conjugate is still accepted there because the two paths may reach
+    the solution through different (tie-flipped) argmin routes whose
+    phi signs are both valid. Everything else must be bit-equal.
     """
     got, ref = np.asarray(got), np.asarray(ref)
     if mask is None:

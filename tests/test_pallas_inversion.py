@@ -244,3 +244,42 @@ def test_nearest_index_true_grid_compare():
         exp = np.argmin(np.abs(grid[None, :] - vals[:, None]), axis=1)
         exp[np.isnan(vals)] = 0
         np.testing.assert_array_equal(got, exp)
+
+
+def test_pallas_phi_disambiguation_degenerate_ancillary():
+    """Ancillary direction exactly 180 deg (plain real NEGATIVE
+    ancillary_wind, e.g. quantized direction data) makes the reference's
+    d1<=d2 angular comparison an exact fp tie broken only by
+    wrap-rounding noise. The fused pallas postprocess must replicate
+    _disambiguate_phi's exact op sequence — an algebraic shortcut
+    (keep iff anc_im*sin(phi) >= 0) flipped ~15% of such pixels to the
+    conjugate wind (round-4 review finding)."""
+    lut_co = get_model("gmf_cmod5n").to_lut(
+        units="dB", inc_step=0.5, wspd_step=0.5, phi_step=5.0)
+    tables = InversionTables(lut_co, None, dtype=jnp.float32)
+
+    rng = np.random.default_rng(3)
+    n = 2048
+    inc = rng.uniform(17.0, 60.0, n)
+    speed = rng.uniform(1.0, 28.0, n)
+    direc = rng.uniform(0.0, 360.0, n)
+    s0_co_db = 10 * np.log10(
+        np.asarray(get_model("gmf_cmod5n")(inc, speed, direc,
+                                           broadcast=True)) + 1e-15)
+    # direction exactly 180 deg: anc_im == +0.0; sprinkle -0.0 and
+    # exactly-0-deg pixels too (all make anc_im*sin(phi) == +-0.0)
+    anc = -(speed + rng.normal(0, 2, n)).clip(0.3) + 0.0j
+    anc[::7] = np.conj(anc[::7])      # imag = -0.0
+    anc[::11] = -anc[::11]            # direction exactly 0 deg
+
+    nanv = np.full(n, np.nan)
+    co_e, _ = invert_pixels(tables, inc, s0_co_db, nanv, nanv, anc,
+                            mode="exact")
+    co_p, _ = invert_pixels(tables, inc, s0_co_db, nanv, nanv, anc,
+                            mode="pallas_interpret")
+    assert_equal_modulo_pi_ties(co_p, co_e)
+    # the imaginary sign (the disambiguation outcome) must agree
+    # wherever the solution phi is not itself a degenerate pi-tie
+    m = ~np.isnan(np.abs(co_e)) & (np.abs(np.asarray(co_e).imag) > 1e-4)
+    np.testing.assert_array_equal(np.sign(np.asarray(co_p)[m].imag),
+                                  np.sign(np.asarray(co_e)[m].imag))

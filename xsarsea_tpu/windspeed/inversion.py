@@ -647,11 +647,12 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
             jnp.where(valid2, perm2, n)
         ].set(flat_r, mode="drop")
         flat = jnp.clip(flat, 0, n_wspd * n_phi - 1)
-        # decode (wspd, cos phi, sin phi) with ONE (W*P, 3) row gather:
-        # packed row gathers measure ~8.4 ns/px on TPU vs ~14 ns/px for
-        # EACH scalar gather, so one packed lookup beats separate
-        # co_wspd[iw] / trig[ip] lookups by ~2.5x. Entries are the exact
-        # same values the separate gathers would return (bit-identical).
+        # decode (wspd, cos phi, sin phi, phi) with ONE (W*P, 4) row
+        # gather: packed row gathers measure ~8.4 ns/px on TPU vs
+        # ~14 ns/px for EACH scalar gather, so one packed lookup beats
+        # separate co_wspd[iw] / trig[ip] lookups by ~2.5x. Entries are
+        # the exact same values the separate gathers would return
+        # (bit-identical).
         dec = jnp.stack(
             [
                 jnp.broadcast_to(tables.co_wspd[:, None],
@@ -660,11 +661,14 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
                                  (n_wspd, n_phi)).reshape(-1),
                 jnp.broadcast_to(jnp.sin(tables.co_phir)[None, :],
                                  (n_wspd, n_phi)).reshape(-1),
+                jnp.broadcast_to(tables.co_phir[None, :],
+                                 (n_wspd, n_phi)).reshape(-1),
             ],
             axis=1,
         )
         drow = dec[flat]
-        wspd_co_raw, cos_p, sin_p = drow[:, 0], drow[:, 1], drow[:, 2]
+        wspd_co_raw, cos_p, sin_p, phir_sol = (
+            drow[:, 0], drow[:, 1], drow[:, 2], drow[:, 3])
         co_valid = ~jnp.isnan(s0_co_db)
 
         # --- stage 3: bucket by crosspol incidence band, 1-D wspd argmin
@@ -704,20 +708,25 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
             wspd_dual = None
 
         # --- stage 4: vectorized postprocess (masking, NaN guards).
-        # No per-pixel trig: cos/sin of the solution came out of the
-        # packed decode gather above (bit-identical to cos/sin of the
-        # gathered phi — same op, same input bits), and the +-phi
-        # disambiguation rule d1 <= d2 with d = |wrap(anc_ang -+ phir)|
-        # collapses
-        # algebraically to one sign test: cos(anc - phi) - cos(anc + phi)
-        # = 2 sin(anc_ang) sin(phi) and sign(sin(anc_ang)) = sign(anc_im),
-        # so keep +phir iff anc_im * sin(phir) >= 0 (ties and the NaN
-        # ancillary case resolve exactly like the reference comparison:
-        # NaN compares False -> -phir). cos is even and sin odd, so the
-        # flip only negates the imaginary part.
+        # cos/sin of the solution came out of the packed decode gather
+        # above (bit-identical to cos/sin of the gathered phi — same op,
+        # same input bits); the flip only negates the imaginary part
+        # (cos even, sin odd). The +-phi disambiguation replicates
+        # _disambiguate_phi's EXACT fp op sequence (atan2 + trig wrap +
+        # d1 <= d2). An earlier algebraic shortcut (keep iff
+        # anc_im * sin(phir) >= 0 — equivalent in real arithmetic via
+        # cos(a-p) - cos(a+p) = 2 sin a sin p) diverged on exact and
+        # near-tie inputs: with ancillary direction exactly 180 deg
+        # (plain real negative ancillary_wind) the comparison is an fp
+        # tie broken by wrap-rounding noise, and the shortcut flipped
+        # ~15% of pixels to the conjugate wind. Elementwise trig is
+        # ~free on the VPU; the gathers around it dominate either way.
         nan = jnp.asarray(jnp.nan, dtype=inc.dtype)
         if tables.phi_180:
-            keep = anc_im * sin_p >= 0
+            anc_ang = jnp.arctan2(anc_im, anc_re)
+            d1 = jnp.abs(_wrap_angle(anc_ang - phir_sol))
+            d2 = jnp.abs(_wrap_angle(anc_ang + phir_sol))
+            keep = d1 <= d2
             sin_co = jnp.where(keep, sin_p, -sin_p)
         else:
             sin_co = sin_p
