@@ -431,6 +431,31 @@ def test_multipol_chunked_gradients_downscale_rejected():
                   windows_sizes=[32], downscales_factors=[1, 2]).histogram
 
 
+def test_multipol_chunked_gradients_first_axis_only_rejected():
+    """A protocol-conformant 3-D lazy array that supports only FIRST-axis
+    slicing must be rejected with a clear NotImplementedError at
+    construction, not crash deep inside the banded streaming path
+    (round-4 review finding)."""
+    from xsarsea_tpu.gradients import Gradients
+
+    img3 = np.ones((2, 64, 64))
+
+    class FirstAxisOnly:
+        shape, ndim, dtype = img3.shape, 3, img3.dtype
+        chunks = ((2,), (64,), (64,))
+
+        def __getitem__(self, idx):
+            if not isinstance(idx, tuple):
+                idx = (idx,)
+            if len(idx) != 1 or not isinstance(idx[0], slice):
+                raise IndexError("first-axis slicing only")
+            return img3[idx]
+
+    with pytest.raises(NotImplementedError, match="pol, row0:row1"):
+        Gradients(DimArray(FirstAxisOnly(), dims=("pol", "line", "sample")),
+                  windows_sizes=[32], downscales_factors=[1])
+
+
 def test_lazy_direct_gmf_evaluation():
     """GmfModel.__call__ on chunked N-D inputs stays lazy (reference keeps
     dask inputs lazy via da.broadcast_arrays, gmfs.py:293-316): the result

@@ -260,6 +260,55 @@ def _r2_coord(c):
     return blocked_coord_mean(c, 2)
 
 
+def _window_grid(coords, window_size, window_step):
+    """Window-center grid {line, sample} from full-resolution coords.
+
+    SINGLE source of the stepping rule (mean window size in px ->
+    stride = ws_px * window_step, >= 1 px): Gradients2D.windows_at and
+    the fused multiscale fan-out must agree bit-for-bit on it.
+    """
+    ws_px = int(np.mean([
+        window_size / _coord_step(coords[d]) for d in ("line", "sample")
+    ]))
+    step = int(ws_px * window_step)
+    if step < 1:
+        raise ValueError(
+            f"window_step={window_step} with ~{ws_px}px windows "
+            f"gives a stride of {step} px; window_step must be "
+            f">= 1/window_size_px (stride >= 1 pixel)")
+    return {"line": np.asarray(coords["line"][::step]),
+            "sample": np.asarray(coords["sample"][::step])}
+
+
+def _lg_window_spec(coords, window_size, at):
+    """(win_px, cl, cs) on the lg grid of full-resolution ``coords``.
+
+    The lg grid is two R2 coarsenings (pure coordinate arithmetic, no
+    data); ``win_px`` is the window size in lg pixels and cl/cs the
+    nearest-lg-pixel index per requested center. SINGLE source of the
+    snapping rule shared by the per-instance and fused paths (their
+    equivalence test depends on it).
+    """
+    lg = {d: _r2_coord(_r2_coord(coords[d])) for d in ("line", "sample")}
+    win = int(np.mean([
+        window_size / _coord_step(lg[d]) for d in ("line", "sample")
+    ]))
+    cl = np.abs(
+        lg["line"][None, :] - np.asarray(at["line"])[:, None]
+    ).argmin(axis=1).astype(np.int32)
+    cs = np.abs(
+        lg["sample"][None, :] - np.asarray(at["sample"])[:, None]
+    ).argmin(axis=1).astype(np.int32)
+    return win, cl, cs
+
+
+def _angle_bin_centers(n_angles):
+    """Centers of the n_angles bins over [-pi/2, pi/2] (one rule for
+    both histogram paths)."""
+    bins = np.linspace(-np.pi / 2, np.pi / 2, n_angles + 1)
+    return (bins[1:] + bins[:-1]) / 2
+
+
 def local_gradients(image):
     """Local squared gradients with quality index (gradients.py:588-634).
 
@@ -589,20 +638,8 @@ class Gradients2D:
     def windows_at(self):
         """Window center coordinates dict {'line': ..., 'sample': ...}."""
         if self._windows_at is None and self.window_step is not None:
-            ws_px = int(np.mean([
-                self.window_size / _coord_step(self.sigma0.coords[d])
-                for d in ("line", "sample")
-            ]))
-            step = int(ws_px * self.window_step)
-            if step < 1:
-                raise ValueError(
-                    f"window_step={self.window_step} with ~{ws_px}px windows "
-                    f"gives a stride of {step} px; window_step must be "
-                    f">= 1/window_size_px (stride >= 1 pixel)")
-            self._windows_at = {
-                "line": np.asarray(self.sigma0.coords["line"][::step]),
-                "sample": np.asarray(self.sigma0.coords["sample"][::step]),
-            }
+            self._windows_at = _window_grid(
+                self.sigma0.coords, self.window_size, self.window_step)
         return self._windows_at
 
     @windows_at.setter
@@ -627,18 +664,13 @@ class Gradients2D:
 
     @property
     def _histogram_native(self):
-        # lg-grid coordinates are pure coordinate arithmetic (two R2
-        # coarsenings), so center snapping and window sizing never need
-        # the data — out-of-core inputs stay unmaterialized
-        lg_coords = {d: _r2_coord(_r2_coord(self.sigma0.coords[d]))
-                     for d in ("line", "sample")}
-        # window size in lg pixels (gradients.py:151-158)
-        win = int(np.mean([
-            self.window_size / _coord_step(lg_coords[d])
-            for d in ("line", "sample")
-        ]))
-
         at = self.windows_at
+        # window size in lg pixels + nearest lg pixel per requested
+        # center: pure coordinate arithmetic (two R2 coarsenings), so
+        # out-of-core inputs stay unmaterialized; _lg_window_spec is the
+        # single source shared with the fused fan-out
+        win, cl, cs = _lg_window_spec(self.sigma0.coords, self.window_size,
+                                      at)
         # generation of the lg sources: injecting _lg_hist (multiscale)
         # or computing .local_gradients after a cached call must
         # invalidate (a counter, not id()s — ids can be recycled)
@@ -647,16 +679,7 @@ class Gradients2D:
                      np.asarray(at["sample"]).tobytes())
         if self._hist_cache is not None and self._hist_cache[0] == cache_key:
             return self._hist_cache[1]
-        # nearest lg pixel per requested center
-        cl = np.abs(
-            lg_coords["line"][None, :] - np.asarray(at["line"])[:, None]
-        ).argmin(axis=1)
-        cs = np.abs(
-            lg_coords["sample"][None, :] - np.asarray(at["sample"])[:, None]
-        ).argmin(axis=1)
-
-        angles_bins = np.linspace(-np.pi / 2, np.pi / 2, self.n_angles + 1)
-        angles_bins = (angles_bins[1:] + angles_bins[:-1]) / 2  # bin centers
+        angles_bins = _angle_bin_centers(self.n_angles)
 
         raw = self.sigma0.data
         if self._lg_hist is not None or self._lg is not None:
@@ -673,8 +696,8 @@ class Gradients2D:
             hist, ratio = _windows_hist_fused(
                 jnp.asarray(g2.data), jnp.asarray(g2_ang.data),
                 jnp.asarray(c.data),
-                jnp.asarray(cl.astype(np.int32)),
-                jnp.asarray(cs.astype(np.int32)),
+                jnp.asarray(cl),
+                jnp.asarray(cs),
                 win, jnp.asarray(angles_bins))
             norm = win * win
         elif is_chunked(raw):
@@ -688,8 +711,8 @@ class Gradients2D:
             # single-band case
             hist, ratio = _streaks_core_jit(
                 jnp.asarray(raw),
-                centers_l=jnp.asarray(cl.astype(np.int32)),
-                centers_s=jnp.asarray(cs.astype(np.int32)),
+                centers_l=jnp.asarray(cl),
+                centers_s=jnp.asarray(cs),
                 window=win, angles_bins=jnp.asarray(angles_bins))
             norm = 1.0
 
@@ -804,6 +827,24 @@ class Gradients:
                 # support basic 2-axis slicing — dask/zarr/h5py/memmap do)
                 spatial = {k: v for k, v in sigma0.coords.items()
                            if k != "pol"}
+                # _LazyPolSlice needs basic 2-axis slicing; the package
+                # lazy protocol only guarantees FIRST-axis slicing, so
+                # probe one tiny access up front and fail with a clear
+                # message instead of an opaque error deep in the banded
+                # streaming path
+                try:
+                    probe = np.asarray(sigma0.data[(0, slice(0, 1))])
+                    if probe.ndim != 2:
+                        raise TypeError(
+                            f"probe returned ndim={probe.ndim}, need 2")
+                except Exception as e:  # noqa: BLE001 — capability probe
+                    raise NotImplementedError(
+                        "multi-pol chunked Gradients input needs a 3-D "
+                        "lazy array supporting src[pol, row0:row1] "
+                        "slicing (dask/zarr/h5py/np.memmap do); this "
+                        f"source does not ({type(e).__name__}: {e}). "
+                        "Slice pols yourself and pass per-pol 2-D "
+                        "chunked arrays instead.") from e
                 pol_slices = [
                     DimArray(_LazyPolSlice(sigma0.data, ip),
                              dims=("line", "sample"),
@@ -885,17 +926,7 @@ class Gradients:
         propagates to every instance)."""
         c0 = self._level_coords(self.downscales_factors[0])
         step_w = 1 if self._window_step is None else self._window_step
-        ws_px = int(np.mean([
-            self.windows_sizes[0] / _coord_step(c0[d])
-            for d in ("line", "sample")
-        ]))
-        step = int(ws_px * step_w)
-        if step < 1:
-            raise ValueError(
-                f"window_step={step_w} with ~{ws_px}px windows gives a "
-                f"stride of {step} px; window_step must be >= "
-                f"1/window_size_px (stride >= 1 pixel)")
-        return {"line": c0["line"][::step], "sample": c0["sample"][::step]}
+        return _window_grid(c0, self.windows_sizes[0], step_w)
 
     def _histogram_fused(self):
         """All (pol x factor x window_size) histograms in one dispatch."""
@@ -906,21 +937,17 @@ class Gradients:
         if self._fused_cache is not None and self._fused_cache[0] == key:
             return self._fused_cache[1]
 
-        n_angles = 72
-        bins = np.linspace(-np.pi / 2, np.pi / 2, n_angles + 1)
-        bins = (bins[1:] + bins[:-1]) / 2
+        bins = _angle_bin_centers(72)
 
         spec, centers_l, centers_s = [], [], []
         for li, df in enumerate(self.downscales_factors):
             lc = self._level_coords(df)
-            lg = {d: _r2_coord(_r2_coord(lc[d])) for d in ("line", "sample")}
-            cl = np.abs(lg["line"][None, :] - wl[:, None]).argmin(
-                axis=1).astype(np.int32)
-            cs = np.abs(lg["sample"][None, :] - wsamp[:, None]).argmin(
-                axis=1).astype(np.int32)
             for wsz in self.windows_sizes:
-                win = int(np.mean([wsz / _coord_step(lg[d])
-                                   for d in ("line", "sample")]))
+                # _lg_window_spec is the SINGLE source of the lg-grid
+                # snapping rule — the per-instance Gradients2D path uses
+                # the same helper, which is what the fused-vs-instances
+                # equivalence test relies on
+                win, cl, cs = _lg_window_spec(lc, wsz, at)
                 spec.append((li, win))
                 centers_l.append(jnp.asarray(cl))
                 centers_s.append(jnp.asarray(cs))
