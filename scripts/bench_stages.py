@@ -131,21 +131,13 @@ def main():
                            lambda *a: (s1_kernel(*a),), g4_dev, feats,
                            band_of_block)
 
-    # --- stage 2a: rebucket by (band, group) in stage-1 SLOT space (no
-    # scatter of the group to pixel order — the stage-1 permutation rides
-    # through the sort as the payload)
+    # --- stage 2a: rebucket by (band, group) in stage-1 SLOT space —
+    # the PRODUCTION stage body (inv._rebucket_slot), not a copy
     @jax.jit
     def s2_bucket(perm, gstar, band_of_block):
-        valid = perm >= 0
-        band_slot = jnp.broadcast_to(
-            band_of_block[:, None], (band_of_block.shape[0], block)
-        ).reshape(-1)
-        key_slot = jnp.where(valid, band_slot * n_wgroups + gstar,
-                             jnp.int32(n_inc * n_wgroups))
-        perm2, key_of_block = bucket_by_band(
-            key_slot, n_bands=n_inc * n_wgroups, block=SLAB_BLOCK,
-            values=perm)
-        return perm2, key_of_block
+        return inv._rebucket_slot(
+            perm, gstar, band_of_block, n_inc=n_inc, n_wgroups=n_wgroups,
+            block=block, slab_block=SLAB_BLOCK)
 
     (perm2, key_of_block), t_b2 = timed("2a rebucket (slot-space key)",
                                         s2_bucket, perm, gstar,
@@ -175,15 +167,17 @@ def main():
                             lut_pad, u_pad, v_pad, perm2, key_of_block,
                             s0co, anc_re, anc_im)
 
-    # --- stage 3: crosspol bucketed argmin (reuses stage-1 buckets)
+    # --- stage 3: scatter + packed decode (production inv._decode_rows)
+    # + crosspol bucketed argmin (reuses stage-1 buckets) — same stage
+    # boundary as the production pipeline
     @jax.jit
     def s3_kernel(cr_pad, cr_whalf, perm, band_of_block, perm2, flat_r, s0co, s0cr, dsig_cr):
         valid2 = perm2 >= 0
         flat = jnp.zeros((N,), jnp.int32).at[
             jnp.where(valid2, perm2, N)].set(flat_r, mode="drop")
         flat = jnp.clip(flat, 0, n_wspd * n_phi - 1)
-        iw = flat // n_phi
-        wspd_co_raw = co_wspd_d[iw]
+        wspd_co_raw, cos_p, sin_p, phir_sol = inv._decode_rows(
+            flat, co_wspd_d, co_phir_d)
         co_valid = ~jnp.isnan(s0co)
         wspd_co_m = jnp.where(co_valid, wspd_co_raw, jnp.nan)
         has_co_f = (~jnp.isnan(wspd_co_m)).astype(jnp.float32)
@@ -195,53 +189,27 @@ def main():
         feats3 = jnp.where(valid3[:, None], pix3[pidx3], jnp.nan)
         wd_r = crosspol_argmin_pallas(cr_pad, cr_whalf, feats3,
                                       band_of_block, block=CR_BLOCK)
-        return flat, wd_r.reshape(-1)
+        return (wspd_co_raw, cos_p, sin_p, phir_sol), wd_r.reshape(-1)
 
-    (flat, wd_r), t_k3 = timed("3  crosspol argmin (value out)", s3_kernel,
-                               cr_pad, cr_whalf, perm, band_of_block,
-                               perm2, flat_r, s0co, s0cr, dsig_cr)
+    (decoded, wd_r), t_k3 = timed("3  decode + crosspol argmin", s3_kernel,
+                                  cr_pad, cr_whalf, perm, band_of_block,
+                                  perm2, flat_r, s0co, s0cr, dsig_cr)
 
-    # --- stage 4: vectorized postprocess (sign-rule disambiguation,
-    # table trig, guards) — mirrors the production stage 4
+    # --- stage 4: wd_r scatter + the PRODUCTION postprocess body
+    # (inv._postprocess_vectorized), not a copy
     @jax.jit
-    def s4_post(flat, wd_r, perm, inc, s0co, s0cr, dsig_cr, anc_re, anc_im):
+    def s4_post(decoded, wd_r, perm, inc, s0co, s0cr, dsig_cr, anc_re, anc_im):
         valid3 = perm >= 0
         wspd_dual = jnp.zeros((N,), wd_r.dtype).at[
             jnp.where(valid3, perm, N)].set(wd_r, mode="drop")
-        dec = jnp.stack([
-            jnp.broadcast_to(co_wspd_d[:, None], (n_wspd, n_phi)).reshape(-1),
-            jnp.broadcast_to(jnp.cos(co_phir_d)[None, :],
-                             (n_wspd, n_phi)).reshape(-1),
-            jnp.broadcast_to(jnp.sin(co_phir_d)[None, :],
-                             (n_wspd, n_phi)).reshape(-1),
-            jnp.broadcast_to(co_phir_d[None, :],
-                             (n_wspd, n_phi)).reshape(-1)], axis=1)
-        drow = dec[flat]
-        wspd_co_raw, cos_p, sin_p, phir_sol = (
-            drow[:, 0], drow[:, 1], drow[:, 2], drow[:, 3])
-        co_valid = ~jnp.isnan(s0co)
-        nan = jnp.float32(np.nan)
-        anc_ang = jnp.arctan2(anc_im, anc_re)
-        d1 = jnp.abs(inv._wrap_angle(anc_ang - phir_sol))
-        d2 = jnp.abs(inv._wrap_angle(anc_ang + phir_sol))
-        keep = d1 <= d2
-        sin_co = jnp.where(keep, sin_p, -sin_p)
-        wspd_co = jnp.where(co_valid, wspd_co_raw, nan)
-        co_re = wspd_co * cos_p
-        co_im = wspd_co * sin_co
-        has_co = ~jnp.isnan(wspd_co)
-        cr_valid = (~jnp.isnan(s0cr)) & (~jnp.isnan(dsig_cr))
-        dual_re = jnp.where(cr_valid,
-                            wspd_dual * jnp.where(has_co, cos_p, 1.0), nan)
-        dual_im = jnp.where(cr_valid,
-                            wspd_dual * jnp.where(has_co, sin_co, 0.0), nan)
-        anc_nan = jnp.isnan(anc_re) | jnp.isnan(anc_im)
-        guard = jnp.isnan(inc) | (co_valid & anc_nan)
-        return (jnp.where(guard, nan, co_re), jnp.where(guard, 0.0, co_im),
-                jnp.where(guard, nan, dual_re), jnp.where(guard, 0.0, dual_im))
+        wspd_co_raw, cos_p, sin_p, phir_sol = decoded
+        return inv._postprocess_vectorized(
+            inc, s0co, s0cr, dsig_cr, anc_re, anc_im,
+            wspd_co_raw, cos_p, sin_p, phir_sol, wspd_dual,
+            phi_180=True, has_cr=True)
 
-    _, t_p = timed("4  postprocess vectorized", s4_post, flat, wd_r, perm,
-                   inc, s0co, s0cr, dsig_cr, anc_re, anc_im)
+    _, t_p = timed("4  postprocess vectorized", s4_post, decoded, wd_r,
+                   perm, inc, s0co, s0cr, dsig_cr, anc_re, anc_im)
 
     total = t_b1 + t_f1 + t_k1 + t_b2 + t_k2 + t_k3 + t_p
     print(f"{'sum of stages':34s} {total * 1e3:8.1f} ms   "

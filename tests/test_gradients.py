@@ -559,6 +559,55 @@ def test_fused_histogram_matches_instance_path():
                                rtol=1e-9)
 
 
+def test_window_step_none_paths_agree():
+    """Gradients(window_step=None) must behave like window_step=1 on BOTH
+    the fused and the per-instance path (review finding: the fused path
+    silently treated None as 1 while the instance path crashed)."""
+    img = streak_image(192, 160, angle_deg=25.0)
+    da = DimArray(img[None], dims=("pol", "line", "sample"),
+                  coords={"pol": np.array(["VV"]),
+                          "line": np.arange(192.0),
+                          "sample": np.arange(160.0)})
+    kw = dict(windows_sizes=[64], downscales_factors=[1])
+
+    fused_none = Gradients(da, window_step=None, **kw).histogram
+    fused_one = Gradients(da, window_step=1, **kw).histogram
+    np.testing.assert_array_equal(np.asarray(fused_none["weight"].data),
+                                  np.asarray(fused_one["weight"].data))
+
+    g = Gradients(da, window_step=None, **kw)
+    g.gradients_list  # route through the per-instance path
+    inst = g.histogram  # used to raise TypeError on None window_step
+    np.testing.assert_allclose(np.asarray(inst["weight"].data),
+                               np.asarray(fused_one["weight"].data),
+                               rtol=1e-9, atol=1e-300)
+
+
+def test_n_angles_threads_through_fused_path():
+    """Changing Gradients.n_angles must change the fused histogram's
+    angular bin count (it was hardcoded to 72) and stay consistent with
+    the per-instance path."""
+    img = streak_image(192, 160, angle_deg=25.0)
+    da = DimArray(img[None], dims=("pol", "line", "sample"),
+                  coords={"pol": np.array(["VV"]),
+                          "line": np.arange(192.0),
+                          "sample": np.arange(160.0)})
+    kw = dict(windows_sizes=[64], downscales_factors=[1])
+
+    g_f = Gradients(da, **kw)
+    g_f.n_angles = 36
+    fused = g_f.histogram
+    assert fused["weight"].sizes["angles"] == 36
+
+    g_i = Gradients(da, **kw)
+    g_i.n_angles = 36
+    g_i.gradients_list
+    inst = g_i.histogram
+    np.testing.assert_allclose(np.asarray(fused["weight"].data),
+                               np.asarray(inst["weight"].data),
+                               rtol=1e-9, atol=1e-300)
+
+
 def test_gradients_instance_mutation_honored():
     """Reassigning an instance's windows_at after construction must
     still be honored by .histogram (the fused path only applies while

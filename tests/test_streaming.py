@@ -500,3 +500,35 @@ def test_lazy_direct_gmf_evaluation():
     # streaming consumers can slice it, strided access is rejected
     with pytest.raises(IndexError, match="strided"):
         out[::2]
+
+
+def test_lazy_gmf_phi_independent_broadcast_shape():
+    """A phi-independent (crosspol) model must broadcast the LAZY result
+    over phi's shape too, exactly like the eager branch does (review
+    finding: raws[2]=None used to drop phi from the shape computation)."""
+    from xsarsea_tpu.dimarray import is_chunked
+    from xsarsea_tpu.models import get_model
+
+    m = get_model("gmf_s1_v2")  # crosspol: ignores phi
+    ny, nx = 48, 56
+    rng = np.random.default_rng(11)
+    inc_row = rng.uniform(18, 47, (1, nx))
+    wspd_row = rng.uniform(0.5, 45, (1, nx))
+    phi = rng.uniform(0, 360, (ny, nx))
+
+    l_inc = LazyRows(lambda a, b: inc_row[a:b], (1, nx))
+    l_wspd = LazyRows(lambda a, b: wspd_row[a:b], (1, nx))
+
+    eager = np.asarray(m(inc_row, wspd_row, phi, broadcast=True))
+    assert eager.shape == (ny, nx)  # eager broadcasts over phi
+
+    out = m(l_inc, l_wspd, phi)
+    assert is_chunked(out)
+    assert out.shape == (ny, nx)   # lazy must agree
+    np.testing.assert_array_equal(np.asarray(out), eager)
+
+    # chunked phi as the ONLY lazy input: stays lazy, same shape rule
+    l_phi = LazyRows(lambda a, b: phi[a:b], phi.shape)
+    out2 = m(inc_row, wspd_row, l_phi)
+    assert is_chunked(out2) and out2.shape == (ny, nx)
+    np.testing.assert_array_equal(np.asarray(out2), eager)

@@ -88,11 +88,14 @@ def test_device_db_auto_and_close_to_host_prep():
                           dsig_cr=0.1, anc=anc)
     assert src_dev.device_db is None
     co_d, dual_d = _invert_source(tables, src_dev, mode="pallas_interpret")
-    assert src_dev.device_db is True  # auto-resolved by the f32 pallas path
-    # linear f32 on the wire, no host log10
-    piece = src_dev.piece(0, 8)
-    np.testing.assert_allclose(piece[1], s0_co[:8].astype(np.float32),
-                               rtol=0)
+    # auto-resolution is per call (shallow copy): the caller's source is
+    # NOT stamped, so reusing it with mode='exact' keeps host dB prep
+    assert src_dev.device_db is None
+    # linear f32 on the wire when resolved for the pallas path
+    src_lin = _LazySource((2048,), f32, inc, s0_co=s0_co, s0_cr=s0_cr,
+                          dsig_cr=0.1, anc=anc, device_db=True)
+    np.testing.assert_allclose(src_lin.piece(0, 8)[1],
+                               s0_co[:8].astype(np.float32), rtol=0)
 
     src_host = _LazySource((2048,), f32, inc, s0_co=s0_co, s0_cr=s0_cr,
                            dsig_cr=0.1, anc=anc, device_db=False)
@@ -115,7 +118,25 @@ def test_exact_mode_keeps_host_prep():
     src = _LazySource((512,), np.dtype(np.float64), inc, s0_co=s0_co,
                       dsig_cr=0.1, anc=anc)
     _invert_source(tables, src, mode="exact")
-    assert src.device_db is False
+    assert not src.device_db  # unresolved (None) streams host-converted dB
     # dB (host-converted) on the wire
     piece = src.piece(0, 8)
     np.testing.assert_array_equal(piece[1], _db(s0_co[:8]))
+
+
+def test_source_reuse_across_modes_keeps_each_wire_format():
+    """One source inverted pallas-then-exact: exact still bit-matches a
+    fresh exact run (the pallas call must not pin device_db=True)."""
+    inc, s0_co, s0_cr, anc = _scene(n=1024, seed=7)
+    t32 = prepare_tables("gmf_cmod5n", "gmf_s1_v2", dtype=jnp.float32, **KW)
+    f32 = np.dtype(np.float32)
+
+    src = _LazySource((1024,), f32, inc, s0_co=s0_co, s0_cr=s0_cr,
+                      dsig_cr=0.1, anc=anc)
+    _invert_source(t32, src, mode="pallas_interpret")  # would auto device_db
+    co_reused, dual_reused = _invert_source(t32, src, mode="exact")
+    fresh = _LazySource((1024,), f32, inc, s0_co=s0_co, s0_cr=s0_cr,
+                        dsig_cr=0.1, anc=anc)
+    co_fresh, dual_fresh = _invert_source(t32, fresh, mode="exact")
+    np.testing.assert_array_equal(co_reused, co_fresh)
+    np.testing.assert_array_equal(dual_reused, dual_fresh)

@@ -857,7 +857,10 @@ class Gradients:
         self.sigma0 = sigma0
         self.windows_sizes = list(windows_sizes)
         self.downscales_factors = list(downscales_factors)
-        self._window_step = window_step
+        # None -> 1, the same normalization Gradients2D applies at init:
+        # the fused and per-instance paths must agree on the window grid
+        self._window_step = 1 if window_step is None else window_step
+        self.n_angles = 72  # angular bins; propagated to every instance
         self._pols = pols
         self._pol_slices = pol_slices
         self._chunked = any(is_chunked(s.data) for s in pol_slices)
@@ -903,6 +906,7 @@ class Gradients:
                 group = []
                 for ws in self.windows_sizes:
                     g2d = Gradients2D(s0, window_size=ws)
+                    g2d.n_angles = self.n_angles
                     self._instances.append(g2d)
                     group.append(g2d)
                 self._lg_groups.append((s0, group))
@@ -925,19 +929,18 @@ class Gradients:
         (same rule as Gradients2D.windows_at, which StackedGradients
         propagates to every instance)."""
         c0 = self._level_coords(self.downscales_factors[0])
-        step_w = 1 if self._window_step is None else self._window_step
-        return _window_grid(c0, self.windows_sizes[0], step_w)
+        return _window_grid(c0, self.windows_sizes[0], self._window_step)
 
     def _histogram_fused(self):
         """All (pol x factor x window_size) histograms in one dispatch."""
         at = self._windows_at_shared()
         wl = np.asarray(at["line"])
         wsamp = np.asarray(at["sample"])
-        key = (wl.tobytes(), wsamp.tobytes())
+        key = (wl.tobytes(), wsamp.tobytes(), self.n_angles)
         if self._fused_cache is not None and self._fused_cache[0] == key:
             return self._fused_cache[1]
 
-        bins = _angle_bin_centers(72)
+        bins = _angle_bin_centers(self.n_angles)
 
         spec, centers_l, centers_s = [], [], []
         for li, df in enumerate(self.downscales_factors):

@@ -239,11 +239,16 @@ class GmfModel(Model):
                     for v in (inc, wspd, phi)]
             if not self._needs_phi:
                 raws[2] = None
-            if any(r is not None and is_chunked(r) for r in raws):
+            if any(is_chunked(v.data if isinstance(v, DimArray) else v)
+                   for v in vals):
                 # chunked/lazy inputs stay lazy (reference gmfs.py:293-316
-                # via da.broadcast_arrays): block-evaluated on demand
+                # via da.broadcast_arrays): block-evaluated on demand.
+                # The output shape broadcasts over ALL provided inputs —
+                # including phi for phi-independent models — to match the
+                # eager branch below (which broadcasts over `vals`).
                 shape = np.broadcast_shapes(
-                    *(np.shape(r) for r in raws if r is not None))
+                    *(np.shape(v.data if isinstance(v, DimArray) else v)
+                      for v in vals))
                 out = _LazyGmfEval(self._jit_broadcast, tuple(raws),
                                    shape, dtype)
                 if template is not None:

@@ -110,18 +110,34 @@ def get_test_file(fname, iszip=True):
                     with zipfile.ZipFile(f, "r") as zf:
                         zf.extractall(res_path)
                 else:
-                    with open(local, "wb") as out:
-                        while chunk := f.read(1 << 22):
-                            out.write(chunk)
+                    # stream to a temp name, rename on success: an
+                    # interrupted download must not leave a truncated
+                    # file at `local` that the exists() check then
+                    # serves forever
+                    part = local + ".part"
+                    try:
+                        with open(part, "wb") as out:
+                            while chunk := f.read(1 << 22):
+                                out.write(chunk)
+                        os.replace(part, local)
+                    finally:
+                        if os.path.exists(part):
+                            os.unlink(part)
         else:
             import urllib.request
 
-            tmp = local + (".zip" if iszip else "")
-            urllib.request.urlretrieve(url, tmp)
-            if iszip:
-                with zipfile.ZipFile(tmp, "r") as zf:
-                    zf.extractall(res_path)
-                os.unlink(tmp)
+            tmp = local + (".zip" if iszip else ".part")
+            try:
+                urllib.request.urlretrieve(url, tmp)
+                if iszip:
+                    with zipfile.ZipFile(tmp, "r") as zf:
+                        zf.extractall(res_path)
+                    os.unlink(tmp)
+                else:
+                    os.replace(tmp, local)
+            finally:
+                if not iszip and os.path.exists(tmp):
+                    os.unlink(tmp)
     except Exception as e:  # pragma: no cover - network dependent
         raise RuntimeError(
             f"test file '{fname}' not found locally at {local} and download failed ({e}). "

@@ -35,6 +35,7 @@ Execution modes (see :func:`invert_pixels`):
 
 from __future__ import annotations
 
+import copy
 import logging
 import warnings
 from functools import lru_cache
@@ -480,6 +481,114 @@ _TURBO_DW = 0.2
 _TURBO_MARGIN = 8
 
 
+def _rebucket_slot(perm, gstar, band_of_block, *, n_inc, n_wgroups,
+                   block, slab_block):
+    """Stage-2a: rebucket by (band, wspd group) in stage-1 SLOT space.
+
+    The refined key is built from the block metadata (band) and the
+    kernel output (group) and re-bucketed with the stage-1 permutation
+    as payload — no scatter of the group back to pixel order, no
+    pixel-order key rebuild. SINGLE SOURCE shared by the production
+    pipeline and scripts/bench_stages.py (they drifted once; see
+    commit a8153f2).
+    """
+    from xsarsea_tpu.ops.pallas_inversion import bucket_by_band
+
+    valid = perm >= 0
+    band_slot = jnp.broadcast_to(
+        band_of_block[:, None], (band_of_block.shape[0], block)
+    ).reshape(-1)
+    key_slot = jnp.where(valid, band_slot * n_wgroups + gstar,
+                         jnp.int32(n_inc * n_wgroups))
+    return bucket_by_band(key_slot, n_bands=n_inc * n_wgroups,
+                          block=slab_block, values=perm)
+
+
+def _decode_rows(flat, co_wspd, co_phir):
+    """Decode (wspd, cos phi, sin phi, phi) with ONE (W*P, 4) row gather.
+
+    Packed row gathers measure ~8.4 ns/px on TPU vs ~14 ns/px for EACH
+    scalar gather, so one packed lookup beats separate co_wspd[iw] /
+    trig[ip] lookups by ~2.5x. Entries are the exact same values the
+    separate gathers would return (bit-identical). Shared by the
+    production pipeline and scripts/bench_stages.py.
+    """
+    n_wspd = co_wspd.shape[0]
+    n_phi = co_phir.shape[0]
+    dec = jnp.stack(
+        [
+            jnp.broadcast_to(co_wspd[:, None], (n_wspd, n_phi)).reshape(-1),
+            jnp.broadcast_to(jnp.cos(co_phir)[None, :],
+                             (n_wspd, n_phi)).reshape(-1),
+            jnp.broadcast_to(jnp.sin(co_phir)[None, :],
+                             (n_wspd, n_phi)).reshape(-1),
+            jnp.broadcast_to(co_phir[None, :], (n_wspd, n_phi)).reshape(-1),
+        ],
+        axis=1,
+    )
+    drow = dec[flat]
+    return drow[:, 0], drow[:, 1], drow[:, 2], drow[:, 3]
+
+
+def _postprocess_vectorized(inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im,
+                            wspd_co_raw, cos_p, sin_p, phir_sol, wspd_dual,
+                            *, phi_180, has_cr):
+    """Stage-4: vectorized postprocess (sign-rule disambiguation, guards).
+
+    cos/sin of the solution came out of the packed decode gather
+    (bit-identical to cos/sin of the gathered phi — same op, same input
+    bits); the flip only negates the imaginary part (cos even, sin odd).
+    The +-phi disambiguation replicates _disambiguate_phi's EXACT fp op
+    sequence (atan2 + trig wrap + d1 <= d2). An earlier algebraic
+    shortcut (keep iff anc_im * sin(phir) >= 0 — equivalent in real
+    arithmetic via cos(a-p) - cos(a+p) = 2 sin a sin p) diverged on
+    exact and near-tie inputs: with ancillary direction exactly 180 deg
+    (plain real negative ancillary_wind) the comparison is an fp tie
+    broken by wrap-rounding noise, and the shortcut flipped ~15% of
+    pixels to the conjugate wind. Elementwise trig is ~free on the VPU;
+    the gathers around it dominate either way.
+
+    NaN guards (windspeed.py:198-207): NaN incidence, or valid copol
+    sigma0 with NaN ancillary -> real nan (-> nan+0j), matching the
+    reference's nan vs nan*1j encoding (_postprocess_pixel). SINGLE
+    SOURCE shared with scripts/bench_stages.py.
+    """
+    co_valid = ~jnp.isnan(s0_co_db)
+    nan = jnp.asarray(jnp.nan, dtype=inc.dtype)
+    if phi_180:
+        anc_ang = jnp.arctan2(anc_im, anc_re)
+        d1 = jnp.abs(_wrap_angle(anc_ang - phir_sol))
+        d2 = jnp.abs(_wrap_angle(anc_ang + phir_sol))
+        keep = d1 <= d2
+        sin_co = jnp.where(keep, sin_p, -sin_p)
+    else:
+        sin_co = sin_p
+    wspd_co = jnp.where(co_valid, wspd_co_raw, nan)
+    co_re = wspd_co * cos_p
+    co_im = wspd_co * sin_co
+
+    if has_cr:
+        # phi_dual = phi_co where copol solved, else 0 (cos 1, sin 0)
+        has_co = ~jnp.isnan(wspd_co)
+        cr_valid = (~jnp.isnan(s0_cr_db)) & (~jnp.isnan(dsig_cr))
+        dual_re = jnp.where(
+            cr_valid, wspd_dual * jnp.where(has_co, cos_p, 1.0), nan)
+        dual_im = jnp.where(
+            cr_valid, wspd_dual * jnp.where(has_co, sin_co, 0.0), nan)
+    else:
+        dual_re = jnp.full_like(co_re, jnp.nan)
+        dual_im = jnp.full_like(co_im, jnp.nan)
+
+    anc_nan = jnp.isnan(anc_re) | jnp.isnan(anc_im)
+    guard = jnp.isnan(inc) | (co_valid & anc_nan)
+    return (
+        jnp.where(guard, nan, co_re),
+        jnp.where(guard, 0.0, co_im),
+        jnp.where(guard, nan, dual_re),
+        jnp.where(guard, 0.0, dual_im),
+    )
+
+
 def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192,
                            interpret=False, coarse=True, turbo=False,
                            mesh=None, data_axis="data"):
@@ -604,19 +713,11 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
             block=block, interpret=interpret,
         ).reshape(-1)
 
-        # --- stage 2: bucket by (band, wspd group), direct-form slab refine.
-        # The refined key is built in stage 1's SLOT space (band from the
-        # block metadata, group from the kernel output) and re-bucketed
-        # with the stage-1 permutation as payload — no scatter of the
-        # group back to pixel order, no pixel-order key rebuild.
-        band_slot = jnp.broadcast_to(
-            band_of_block[:, None], (band_of_block.shape[0], block)
-        ).reshape(-1)
-        key_slot = jnp.where(valid, band_slot * n_wgroups + gstar,
-                             jnp.int32(n_inc * n_wgroups))
-        perm2, key_of_block = bucket_by_band(
-            key_slot, n_bands=n_inc * n_wgroups, block=SLAB_BLOCK,
-            values=perm)
+        # --- stage 2: bucket by (band, wspd group), direct-form slab refine
+        # (slot-space rebucket: see _rebucket_slot)
+        perm2, key_of_block = _rebucket_slot(
+            perm, gstar, band_of_block, n_inc=n_inc, n_wgroups=n_wgroups,
+            block=block, slab_block=SLAB_BLOCK)
         valid2 = perm2 >= 0
         pidx2 = jnp.clip(perm2, 0)
         # slab-kernel features: (s0, ma/2, mz/2, 1/dsig) — see
@@ -647,28 +748,9 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
             jnp.where(valid2, perm2, n)
         ].set(flat_r, mode="drop")
         flat = jnp.clip(flat, 0, n_wspd * n_phi - 1)
-        # decode (wspd, cos phi, sin phi, phi) with ONE (W*P, 4) row
-        # gather: packed row gathers measure ~8.4 ns/px on TPU vs
-        # ~14 ns/px for EACH scalar gather, so one packed lookup beats
-        # separate co_wspd[iw] / trig[ip] lookups by ~2.5x. Entries are
-        # the exact same values the separate gathers would return
-        # (bit-identical).
-        dec = jnp.stack(
-            [
-                jnp.broadcast_to(tables.co_wspd[:, None],
-                                 (n_wspd, n_phi)).reshape(-1),
-                jnp.broadcast_to(jnp.cos(tables.co_phir)[None, :],
-                                 (n_wspd, n_phi)).reshape(-1),
-                jnp.broadcast_to(jnp.sin(tables.co_phir)[None, :],
-                                 (n_wspd, n_phi)).reshape(-1),
-                jnp.broadcast_to(tables.co_phir[None, :],
-                                 (n_wspd, n_phi)).reshape(-1),
-            ],
-            axis=1,
-        )
-        drow = dec[flat]
-        wspd_co_raw, cos_p, sin_p, phir_sol = (
-            drow[:, 0], drow[:, 1], drow[:, 2], drow[:, 3])
+        # packed decode-table row gather (see _decode_rows)
+        wspd_co_raw, cos_p, sin_p, phir_sol = _decode_rows(
+            flat, tables.co_wspd, tables.co_phir)
         co_valid = ~jnp.isnan(s0_co_db)
 
         # --- stage 3: bucket by crosspol incidence band, 1-D wspd argmin
@@ -707,56 +789,12 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         else:
             wspd_dual = None
 
-        # --- stage 4: vectorized postprocess (masking, NaN guards).
-        # cos/sin of the solution came out of the packed decode gather
-        # above (bit-identical to cos/sin of the gathered phi — same op,
-        # same input bits); the flip only negates the imaginary part
-        # (cos even, sin odd). The +-phi disambiguation replicates
-        # _disambiguate_phi's EXACT fp op sequence (atan2 + trig wrap +
-        # d1 <= d2). An earlier algebraic shortcut (keep iff
-        # anc_im * sin(phir) >= 0 — equivalent in real arithmetic via
-        # cos(a-p) - cos(a+p) = 2 sin a sin p) diverged on exact and
-        # near-tie inputs: with ancillary direction exactly 180 deg
-        # (plain real negative ancillary_wind) the comparison is an fp
-        # tie broken by wrap-rounding noise, and the shortcut flipped
-        # ~15% of pixels to the conjugate wind. Elementwise trig is
-        # ~free on the VPU; the gathers around it dominate either way.
-        nan = jnp.asarray(jnp.nan, dtype=inc.dtype)
-        if tables.phi_180:
-            anc_ang = jnp.arctan2(anc_im, anc_re)
-            d1 = jnp.abs(_wrap_angle(anc_ang - phir_sol))
-            d2 = jnp.abs(_wrap_angle(anc_ang + phir_sol))
-            keep = d1 <= d2
-            sin_co = jnp.where(keep, sin_p, -sin_p)
-        else:
-            sin_co = sin_p
-        wspd_co = jnp.where(co_valid, wspd_co_raw, nan)
-        co_re = wspd_co * cos_p
-        co_im = wspd_co * sin_co
-
-        if tables.has_cr:
-            # phi_dual = phi_co where copol solved, else 0 (cos 1, sin 0)
-            has_co = ~jnp.isnan(wspd_co)
-            cr_valid = (~jnp.isnan(s0_cr_db)) & (~jnp.isnan(dsig_cr))
-            dual_re = jnp.where(
-                cr_valid, wspd_dual * jnp.where(has_co, cos_p, 1.0), nan)
-            dual_im = jnp.where(
-                cr_valid, wspd_dual * jnp.where(has_co, sin_co, 0.0), nan)
-        else:
-            dual_re = jnp.full_like(co_re, jnp.nan)
-            dual_im = jnp.full_like(co_im, jnp.nan)
-
-        # NaN guards (windspeed.py:198-207): NaN incidence, or valid copol
-        # sigma0 with NaN ancillary -> real nan (-> nan+0j), matching the
-        # reference's nan vs nan*1j encoding (_postprocess_pixel).
-        anc_nan = jnp.isnan(anc_re) | jnp.isnan(anc_im)
-        guard = jnp.isnan(inc) | (co_valid & anc_nan)
-        return (
-            jnp.where(guard, nan, co_re),
-            jnp.where(guard, 0.0, co_im),
-            jnp.where(guard, nan, dual_re),
-            jnp.where(guard, 0.0, dual_im),
-        )
+        # --- stage 4: vectorized postprocess (see _postprocess_vectorized
+        # for the disambiguation fp-sequence and NaN-guard rationale)
+        return _postprocess_vectorized(
+            inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im,
+            wspd_co_raw, cos_p, sin_p, phir_sol, wspd_dual,
+            phi_180=tables.phi_180, has_cr=tables.has_cr)
 
     if mesh is None:
         jitted = jax.jit(invert_flat)
@@ -999,10 +1037,15 @@ def _invert_source(tables: InversionTables, source, dsig_co=0.1,
     # f32 pallas path: ship linear sigma0 and convert to dB on device
     # (the exact/f64 path keeps the reference's host prep for bit
     # parity). device_db=None means auto; an explicit False/True from
-    # the constructor is respected.
+    # the constructor is respected. Auto-resolution is PER CALL, onto a
+    # shallow copy — never stamped onto the caller's source, so one
+    # source object reused across modes gets each mode's wire format
+    # (an exact call after a pallas call must keep host f64 dB prep).
     if isinstance(source, _LazySource) and source.device_db is None:
-        source.device_db = (mode.startswith("pallas") and
-                            np.dtype(jnp.dtype(dtype).name) == np.float32)
+        if (mode.startswith("pallas")
+                and np.dtype(jnp.dtype(dtype).name) == np.float32):
+            source = copy.copy(source)
+            source.device_db = True
     spec = getattr(source, "spec", None)
     fn = _get_invert_fn(tables, chunk_size, mode=mode, dsig_co=dsig_co,
                         spec=spec)
