@@ -54,6 +54,23 @@ def test_interp_matches_scipy():
     np.testing.assert_allclose(got, expected, rtol=1e-12)
 
 
+def test_interp_identity_is_exact():
+    """Interp onto the SAME coords returns the data bit-exactly — incl.
+    values whose grid neighbor is NaN (the generic lerp would pollute an
+    exact hit with 0*NaN). The StackedGradients alignment hits this path."""
+    da = DimArray(np.array([1.0, np.nan, 3.0, 4.0]), dims=("x",),
+                  coords={"x": [0.0, 1.0, 2.0, 3.0]})
+    out = da.interp(x=np.array([0.0, 1.0, 2.0, 3.0]))
+    np.testing.assert_array_equal(out.values, [1.0, np.nan, 3.0, 4.0])
+    # 2-D: identity on one dim composes with real interp on the other
+    d2 = DimArray(np.arange(12.0).reshape(3, 4), dims=("a", "b"),
+                  coords={"a": [0.0, 1.0, 2.0], "b": [0.0, 1.0, 2.0, 3.0]})
+    got = d2.interp(a=np.array([0.0, 1.0, 2.0]), b=np.array([0.5, 2.5]))
+    np.testing.assert_allclose(
+        got.values, np.arange(12.0).reshape(3, 4)[:, :2] * 0 +
+        np.array([[0.5, 2.5], [4.5, 6.5], [8.5, 10.5]]))
+
+
 def test_interp_out_of_bounds_nan():
     da = DimArray(np.arange(4.0), dims=("x",), coords={"x": [0.0, 1.0, 2.0, 3.0]})
     out = da.interp(x=[-1.0, 0.5, 4.0])

@@ -309,6 +309,15 @@ class DimArray:
     def _interp_1d(self, dim, new_c, bounds_error):
         ax = self._axis(dim)
         old_c = np.asarray(self.coords[dim], dtype=np.float64)
+        if new_c.ndim == 1 and np.array_equal(old_c, new_c):
+            # identity re-grid: skip the gather/lerp entirely (the
+            # StackedGradients alignment hits this — windows_at is
+            # propagated from the first instance, so the grids already
+            # match). Also avoids 0*NaN pollution from NaN neighbors.
+            coords = dict(self.coords)
+            coords[dim] = new_c
+            return DimArray(self.data, dims=self.dims, coords=coords,
+                            attrs=self.attrs, name=self.name)
         if bounds_error and (new_c.min() < old_c.min() - 1e-12 or new_c.max() > old_c.max() + 1e-12):
             raise ValueError(f"interp out of bounds on dim '{dim}'")
         scalar = new_c.ndim == 0

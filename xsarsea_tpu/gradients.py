@@ -674,7 +674,7 @@ class Gradients2D:
         # generation of the lg sources: injecting _lg_hist (multiscale)
         # or computing .local_gradients after a cached call must
         # invalidate (a counter, not id()s — ids can be recycled)
-        cache_key = (win, self._lg_gen,
+        cache_key = (win, self._lg_gen, self.n_angles,
                      np.asarray(at["line"]).tobytes(),
                      np.asarray(at["sample"]).tobytes())
         if self._hist_cache is not None and self._hist_cache[0] == cache_key:
