@@ -54,6 +54,20 @@ def test_interp_matches_scipy():
     np.testing.assert_allclose(got, expected, rtol=1e-12)
 
 
+def test_sel_above_max_raises_keyerror():
+    """sel beyond the coord maximum must raise KeyError, not IndexError
+    (review finding: searchsorted returns len(coord) above the max)."""
+    import pytest
+
+    da = DimArray(np.arange(4.0), dims=("x",),
+                  coords={"x": [0.0, 1.0, 2.0, 3.0]})
+    with pytest.raises(KeyError):
+        da.sel(x=100.0)
+    with pytest.raises(KeyError):
+        da.sel(x=1.5)  # between grid points: still KeyError
+    assert float(np.asarray(da.sel(x=3.0).data)) == 3.0  # exact max works
+
+
 def test_interp_identity_is_exact():
     """Interp onto the SAME coords returns the data bit-exactly — incl.
     values whose grid neighbor is NaN (the generic lerp would pollute an

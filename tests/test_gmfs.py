@@ -59,6 +59,26 @@ def test_phi_range_detection():
     assert get_model("gmf_rs2_v2").phi_range is None
 
 
+def test_phi_range_detection_asymmetric():
+    """An asymmetric user GMF must be classified [0, 360] (review
+    finding: a probe min() over a set containing phi=0 — whose
+    difference is identically zero — classified EVERYTHING as 180;
+    the reference has the same flaw, gmfs.py:146-155)."""
+    import jax.numpy as jnp
+
+    from xsarsea_tpu.models.base import Model
+
+    @GmfModel.register(wspd_range=[0.2, 50.0], pol="VV", units="linear",
+                       defer=False)
+    def gmf_asym_test(inc, wspd, phi):
+        return 1e-3 * wspd * (1.0 + 0.1 * jnp.sin(jnp.deg2rad(phi)))
+
+    try:
+        assert get_model("gmf_asym_test").phi_range == [0.0, 360.0]
+    finally:
+        Model._available_models.pop("gmf_asym_test", None)
+
+
 def test_registration_contract_and_golden_values():
     """Users register plain jnp-traceable functions; golden values from the
     reference docstring (gmfs.py:60-64)."""

@@ -148,6 +148,23 @@ def test_cli_invert(tmp_path, capsys):
     np.testing.assert_array_equal(np.load(out2)["wind"], ref_mono)
 
 
+def test_cli_invert_model_count_strict(tmp_path):
+    """3+ models without a dual channel must error, never silently run
+    single-pol with models[0] (review finding: the check was ==2)."""
+    import pytest
+    from test_inversion import synthetic_scene
+
+    from xsarsea_tpu.cli import main
+
+    inc, s0_co, _, _, anc = synthetic_scene(ny=8, nx=8)
+    scene = tmp_path / "scene.npz"
+    np.savez(scene, inc=inc, sigma0=s0_co, ancillary_wind=anc)
+    with pytest.raises(SystemExit, match="no 'sigma0_dual'"):
+        main(["invert", str(scene), str(tmp_path / "w.npz"),
+              "--model", "gmf_cmod5n,gmf_s1_v2,gmf_rs2_v2",
+              "--mode", "exact"])
+
+
 def test_cli_invert_directory_memmap(tmp_path):
     """Directory-of-.npy scene form memory-maps (out-of-core serving)."""
     from test_inversion import synthetic_scene

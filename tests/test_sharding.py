@@ -58,6 +58,43 @@ def test_sharded_inversion_matches_single_device(tables, n_data, n_model):
         np.testing.assert_allclose(got[m].imag, ref[m].imag, atol=1e-9)
 
 
+def test_sharded_crosspol_only_inversion(tables):
+    """Crosspol-only tables through the sharded exact path (review
+    finding: pad_tables_for_model_axis crashed on tables without a copol
+    grid). Must match the single-device crosspol-only result."""
+    inc, s0_co_db, s0_cr_db, dsig_cr, anc = make_pixels(n=300, seed=3)
+    t_cr = prepare_tables(None, "gmf_s1_v2", dtype=jnp.float64,
+                          inc_step=0.5, wspd_step=0.5, phi_step=5.0)
+    mesh = make_mesh(n_data=4, n_model=2)
+    nanv = np.full_like(inc, np.nan)
+    co_ref, dual_ref = invert_pixels(t_cr, inc, nanv, s0_cr_db, dsig_cr,
+                                     nanv + 0j, mode="exact")
+    co_sh, dual_sh = sharded_invert_pixels(t_cr, inc, nanv, s0_cr_db,
+                                           dsig_cr, nanv + 0j, mesh=mesh)
+    np.testing.assert_array_equal(co_sh, co_ref)
+    np.testing.assert_array_equal(dual_sh, dual_ref)
+
+
+def test_sharded_exact_program_cached(tables):
+    """Repeat sharded_invert_pixels calls reuse ONE compiled program
+    (review finding: fresh closures forced a retrace per call)."""
+    inc, s0_co_db, s0_cr_db, dsig_cr, anc = make_pixels(n=256, seed=4)
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded_invert_pixels(tables, inc, s0_co_db, s0_cr_db, dsig_cr, anc,
+                          mesh=mesh, chunk_size=64)
+    cache = tables.__dict__["_invert_fn_cache"]
+    # the key for THIS (mesh, chunk_size) config (other tests in this
+    # module may have populated keys for other configs already)
+    fn_keys = [k for k in cache
+               if k[0] == "sharded_exact" and k[1] == mesh and k[2] == 64]
+    assert len(fn_keys) == 1
+    jitted = cache[fn_keys[0]]
+    n_before = jitted._cache_size()
+    sharded_invert_pixels(tables, inc, s0_co_db, s0_cr_db, dsig_cr,
+                          anc, mesh=mesh, chunk_size=64)
+    assert jitted._cache_size() == n_before  # no retrace on the 2nd call
+
+
 def test_sharded_conv_halo_exchange():
     """Spatially-sharded convolution: XLA SPMD inserts the halo exchange."""
     from jax.sharding import NamedSharding, PartitionSpec as P

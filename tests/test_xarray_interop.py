@@ -144,6 +144,29 @@ def test_aux_coords_restored_from_template():
     np.testing.assert_array_equal(np.asarray(out.coords["lat"]), lat)
 
 
+def test_to_dataarray_keeps_chunked_payload_lazy():
+    """to_dataarray must pass a chunked payload through UNMATERIALIZED
+    (review finding: np.asarray at the boundary computed scene-sized
+    arrays where the reference returns lazy dask DataArrays)."""
+    from test_streaming import LazyRows
+
+    base = np.arange(12.0).reshape(4, 3)
+    pulls = []
+
+    def get(i, j):
+        pulls.append((i, j))
+        return base[i:j]
+
+    lazy = LazyRows(get, base.shape, dtype=base.dtype)
+    arr = DimArray(lazy, dims=("line", "sample"),
+                   coords={"line": np.arange(4.0),
+                           "sample": np.arange(3.0)})
+    out = to_dataarray(arr, DataArray)
+    assert not isinstance(out.data, np.ndarray)   # still the duck array
+    assert pulls == []                            # nothing materialized
+    np.testing.assert_array_equal(np.asarray(out.values), base)
+
+
 def test_invert_chunked_dataarray_stub():
     """A DataArray wrapping a chunked (dask-like) array must stream
     through the lazy path — .data stays lazy through to_dimarray, output

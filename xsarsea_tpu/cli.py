@@ -100,10 +100,11 @@ def cmd_invert(args):
     dual = scene["sigma0_dual"] if "sigma0_dual" in scene else None
     anc = scene["ancillary_wind"] if "ancillary_wind" in scene else None
     # scene channels and model count must agree — never silently drop one
-    if dual is None and len(models) == 2:
+    if dual is None and len(models) != 1:
         raise SystemExit(
-            f"--model names two models {models} but the scene has no "
-            f"'sigma0_dual' array (found {sorted(scene.keys())})")
+            f"--model names {len(models)} models {models} but the scene "
+            f"has no 'sigma0_dual' array: pass exactly one model "
+            f"(found {sorted(scene.keys())})")
     if dual is not None and len(models) != 2:
         raise SystemExit(
             "scene has a 'sigma0_dual' array: pass two models "

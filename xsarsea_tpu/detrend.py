@@ -21,6 +21,9 @@ from xsarsea_tpu.utils import logger, timing
 
 __all__ = ["sigma0_detrend", "read_sarwing_owi"]
 
+# module-level jit: compiled once per (shape, dtype), shared across calls
+_divide_ratio = jax.jit(lambda s0, r: s0 / r[None, :])
+
 
 @xarray_io
 @timing(logger=logger.info)
@@ -57,13 +60,21 @@ def sigma0_detrend(
     gmf_fn = model._jit_broadcast if hasattr(model, "_jit_broadcast") else None
 
     if gmf_fn is not None:
-        @jax.jit
-        def _ratio_fn(inc_row):
-            sample = gmf_fn(inc_row, jnp.asarray(wspd[0], dtype=inc_row.dtype),
-                            jnp.asarray(phi[0], dtype=inc_row.dtype))
-            return sample / jnp.nanmean(sample)
+        # the jitted ratio fn is cached ON the model (jax.jit keys on
+        # function identity — a fresh closure per call would retrace and
+        # recompile every sigma0_detrend in a processing loop); wspd/phi
+        # enter as traced operands so different values reuse the program
+        ratio_fn = model.__dict__.get("_detrend_ratio_fn")
+        if ratio_fn is None:
+            @jax.jit
+            def ratio_fn(inc_row, w, p):
+                sample = gmf_fn(inc_row, w.astype(inc_row.dtype),
+                                p.astype(inc_row.dtype))
+                return sample / jnp.nanmean(sample)
 
-        ratio = _ratio_fn(jnp.asarray(inc_row_np))
+            model._detrend_ratio_fn = ratio_fn
+        ratio = ratio_fn(jnp.asarray(inc_row_np), jnp.asarray(wspd[0]),
+                         jnp.asarray(phi[0]))
     else:
         # tabulated model: evaluate through the LUT interp (host path)
         sample = model(inc_row_np, wspd, phi)
@@ -84,8 +95,7 @@ def sigma0_detrend(
             out[r0:r1] = np.asarray(raw_s0[r0:r1]) / ratio_np[None, :]
         detrended_data = out
     else:
-        detrended_data = jax.jit(lambda s0, r: s0 / r[None, :])(
-            jnp.asarray(raw_s0), ratio)
+        detrended_data = _divide_ratio(jnp.asarray(raw_s0), ratio)
 
     if is_dimarray:
         out = sigma0.copy(data=detrended_data)

@@ -257,7 +257,12 @@ class DimArray:
                 pos = np.abs(coord[None, :] - val_arr[:, None]).argmin(axis=1)
             else:
                 sorter = np.argsort(coord)
-                pos = sorter[np.searchsorted(coord, val_arr, sorter=sorter)]
+                # searchsorted returns len(coord) for values above the
+                # max — clip so the allclose guard below raises the
+                # contractual KeyError instead of an opaque IndexError
+                ins = np.clip(np.searchsorted(coord, val_arr, sorter=sorter),
+                              0, len(coord) - 1)
+                pos = sorter[ins]
                 if not np.allclose(coord[pos], val_arr):
                     raise KeyError(f"values {val} not found in coord '{dim}'")
             iidx[dim] = int(pos[0]) if np.isscalar(val) or np.asarray(val).ndim == 0 else pos

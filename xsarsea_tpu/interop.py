@@ -95,8 +95,13 @@ def to_dataarray(arr: DimArray, da_cls, template=None):
             coords[k] = v
         elif v.ndim == 1 and v.shape[0] == 1:
             coords[k] = v[0]
+    # chunked payloads (dask et al) pass through UNMATERIALIZED — the
+    # reference's whole surface is lazy xarray; np.asarray here would
+    # compute a scene-sized array at the boundary. xr.DataArray holds
+    # duck arrays natively. Everything else (jax/numpy) lands as numpy.
+    data = arr.data if is_chunked(arr.data) else np.asarray(arr.data)
     out = da_cls(
-        np.asarray(arr.data),
+        data,
         coords=coords,
         dims=arr.dims,
         name=arr.name,

@@ -171,13 +171,21 @@ class GmfModel(Model):
 
             if phi_range is None and needs_phi:
                 # a phi-periodic-180 GMF is symmetric under phi -> -phi;
-                # probe all four quadrants at once
+                # probe all four quadrants and require symmetry at EVERY
+                # one (diff.max()). The reference's probe (gmfs.py:146-155)
+                # takes min() over a set that includes phi=0, whose
+                # difference is identically 0 — so it classifies every
+                # phi-dependent GMF as 180-symmetric; all built-in GMFs
+                # genuinely are (cos-series in phi), but an asymmetric
+                # user GMF would silently get half its phi domain. max()
+                # keeps the built-in classifications identical and makes
+                # asymmetric GMFs correctly register as [0, 360].
                 probe = np.array([0.0, 90.0, 180.0, 270.0])
                 diff = np.abs(
                     np.asarray(gmf_fn(35.0, 0.2, probe))
                     - np.asarray(gmf_fn(35.0, 0.2, -probe))
                 )
-                phi_range = [0.0, 180.0] if diff.min() < 1e-15 else [0.0, 360.0]
+                phi_range = [0.0, 180.0] if diff.max() < 1e-15 else [0.0, 360.0]
             elif not needs_phi:
                 phi_range = None
 
@@ -258,9 +266,12 @@ class GmfModel(Model):
                 return out
             out = self._jit_broadcast(prep(inc), prep(wspd),
                                       prep(phi) if self._needs_phi else None)
+            # shapes come from the raw inputs: prep()-ing again here would
+            # host->device-transfer every scene-sized array a second time
             out = jnp.broadcast_to(
-                out, np.broadcast_shapes(*(np.shape(prep(v)) for v in vals))
-            )
+                out, np.broadcast_shapes(
+                    *(np.shape(v.data if isinstance(v, DimArray) else v)
+                      for v in vals)))
             if template is not None:
                 res = template.copy(data=out)
                 res.attrs = {"units": self.units}

@@ -46,21 +46,23 @@ def pad_tables_for_model_axis(tables: InversionTables, n_model: int):
     Padded LUT entries get a huge dB value so their cost never wins;
     padded phi/u/v entries are inert.
     """
-    if not tables.has_co or n_model == 1:
-        return tables, np.asarray(tables.co_phi).shape[0]
+    if not tables.has_co:
+        return tables, 0  # crosspol-only: no copol grid to pad
     P_ = np.asarray(tables.co_phi).shape[0]
-    pad = (-P_) % n_model
+    pad = (-P_) % n_model if n_model > 1 else 0
     if pad == 0:
         return tables, P_
-    out = object.__new__(InversionTables)
-    out.__dict__.update(tables.__dict__)
-    out._coarse = None
-    out.co_lut = jnp.pad(tables.co_lut, ((0, 0), (0, 0), (0, pad)),
-                         constant_values=1e19)
-    out.co_u = jnp.pad(tables.co_u, ((0, 0), (0, pad)))
-    out.co_v = jnp.pad(tables.co_v, ((0, 0), (0, pad)))
-    out.co_phi = jnp.pad(tables.co_phi, (0, pad))
-    out.co_phir = jnp.pad(tables.co_phir, (0, pad))
+    # _copy_with resets the cached device copies (_device_full,
+    # _invert_fn_cache) — a hand-rolled __dict__ copy would leave the
+    # padded table pointing at the UNPADDED device LUTs
+    out = tables._copy_with(
+        co_lut=jnp.pad(tables.co_lut, ((0, 0), (0, 0), (0, pad)),
+                       constant_values=1e19),
+        co_u=jnp.pad(tables.co_u, ((0, 0), (0, pad))),
+        co_v=jnp.pad(tables.co_v, ((0, 0), (0, pad))),
+        co_phi=jnp.pad(tables.co_phi, (0, pad)),
+        co_phir=jnp.pad(tables.co_phir, (0, pad)),
+    )
     return out, P_
 
 
@@ -94,12 +96,7 @@ def _sharded_invert_pixels_pallas(tables, inc, s0_co_db, s0_cr_db, dsig_cr,
         for a in (inc, s0_co_db, s0_cr_db, dsig_cr, anc.real, anc.imag)
     ]
     co_re, co_im, du_re, du_im = fn(*arrs, jnp.asarray(dsig_co, dtype))
-    ctype = np.complex128 if dtype == jnp.float64 else np.complex64
-    wind_co = (np.asarray(co_re, np.float64)
-               + 1j * np.asarray(co_im, np.float64))[:n].astype(ctype)
-    wind_dual = (np.asarray(du_re, np.float64)
-                 + 1j * np.asarray(du_im, np.float64))[:n].astype(ctype)
-    return wind_co, wind_dual
+    return _assemble(co_re, co_im, du_re, du_im, n, dtype)
 
 
 def _local_copol_candidate(tables_shard, phi_offset, n_phi_local,
@@ -107,11 +104,14 @@ def _local_copol_candidate(tables_shard, phi_offset, n_phi_local,
     """Per-pixel (min cost, global flat argmin) over this device's phi slab."""
     lut_inc = tables_shard.co_lut[i_inc]  # (W, P_local)
     mz_eff = jnp.abs(mz) if tables_shard.phi_180 else mz
-    j = (
-        ((lut_inc - s0_co_db) / dsig_co) ** 2
-        + ((tables_shard.co_u - ma) / D_ANTENNA) ** 2
-        + ((tables_shard.co_v - mz_eff) / D_AZI) ** 2
-    )
+    # EXACT op order of the single-device _copol_solution: (u + v) + sig.
+    # fp addition is not associative — a different summation order can
+    # flip the argmin on <1-ulp near-ties and break sharded-vs-single
+    # parity.
+    jwind = (((tables_shard.co_u - ma) / D_ANTENNA) ** 2
+             + ((tables_shard.co_v - mz_eff) / D_AZI) ** 2)
+    jsig = ((lut_inc - s0_co_db) / dsig_co) ** 2
+    j = jwind + jsig
     flat_local = jnp.argmin(j.reshape(-1))
     iw = flat_local // n_phi_local
     ip = flat_local % n_phi_local
@@ -144,7 +144,13 @@ def sharded_invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db,
         return _sharded_invert_pixels_pallas(
             tables, inc, s0_co_db, s0_cr_db, dsig_cr, ancillary_wind,
             mesh, dsig_co=dsig_co, mode=mode)
-    tables, n_phi_true = pad_tables_for_model_axis(tables, n_model)
+    # caches live on the ORIGINAL tables object (the padded copy below is
+    # rebuilt fresh, with empty caches, whenever padding applies)
+    cache = tables.__dict__.setdefault("_invert_fn_cache", {})
+    pad_key = ("padded_model", n_model)
+    if pad_key not in cache:
+        cache[pad_key] = pad_tables_for_model_axis(tables, n_model)
+    tables, n_phi_true = cache[pad_key]
     n_phi_pad = np.asarray(tables.co_phi).shape[0] if tables.has_co else 0
     n_phi_local = n_phi_pad // n_model if tables.has_co else 0
 
@@ -186,6 +192,19 @@ def sharded_invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db,
     # full (replicated) small arrays needed for decode after the argmin
     co_wspd_full = tables.co_wspd if tables.has_co else jnp.zeros((1,), dtype)
     co_phir_full = tables.co_phir if tables.has_co else jnp.zeros((1,), dtype)
+
+    # compiled-program cache: jax.jit keys on function identity, so the
+    # fresh closures below would force a full retrace + XLA compile on
+    # EVERY call (a serving loop would pay tens of seconds per batch).
+    # The key pins everything the closures bake in as trace-time state.
+    fn_key = ("sharded_exact", mesh, chunk_size, float(dsig_co),
+              n_phi_pad, n_phi_local, tables.has_co, tables.has_cr,
+              str(dtype))
+    if fn_key in cache:
+        jitted = cache[fn_key]
+        co_re, co_im, du_re, du_im = jitted(
+            tables, co_wspd_full, co_phir_full, *arrs)
+        return _assemble(co_re, co_im, du_re, du_im, n, dtype)
 
     def local_fn(tables_shard, co_wspd_full, co_phir_full, *pixel_shards):
         inc_s, s0co_s, s0cr_s, dsigcr_s, are_s, aim_s = pixel_shards
@@ -232,7 +251,13 @@ def sharded_invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db,
     )
 
     jitted = jax.jit(shard_fn)
+    cache[fn_key] = jitted
     co_re, co_im, du_re, du_im = jitted(tables, co_wspd_full, co_phir_full, *arrs)
+    return _assemble(co_re, co_im, du_re, du_im, n, dtype)
+
+
+def _assemble(co_re, co_im, du_re, du_im, n, dtype):
+    """Device (re, im) pairs -> trimmed host complex arrays."""
     ctype = np.complex128 if dtype == jnp.float64 else np.complex64
     wind_co = (np.asarray(co_re, np.float64)
                + 1j * np.asarray(co_im, np.float64))[:n].astype(ctype)
