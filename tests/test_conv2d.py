@@ -28,6 +28,26 @@ def test_conv2d_same_symm_matches_scipy():
         np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-14)
 
 
+def test_conv2d_same_even_kernels_match_scipy():
+    """Even kernel dims take the k//2-before pad split (review finding:
+    the swapped split shifted every output by one row/col)."""
+    for shape in [(4, 4), (2, 3), (4, 5), (5, 4), (2, 2)]:
+        k = rng.normal(size=shape)
+        got = np.asarray(conv2d_same(IMG, k, boundary="symm"))
+        expected = signal.convolve2d(IMG, k, mode="same", boundary="symm")
+        np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-12)
+
+
+def test_resize_area_integer_dtype():
+    """Integer images must not truncate the fractional area weights to
+    0/1 (review finding); result equals the float computation."""
+    img_u16 = (IMG * 1000).astype(np.uint16)
+    got = np.asarray(resize_area(img_u16, (18, 26)))
+    expected = np.asarray(resize_area(img_u16.astype(np.float32), (18, 26)))
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+    assert got.max() > 1.0  # not the zeroed-out integer matmul
+
+
 def test_conv2d_complex():
     z = IMG + 1j * IMG[::-1]
     got = np.asarray(conv2d_same(z, B2_KERNEL, boundary="symm"))

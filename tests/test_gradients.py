@@ -119,12 +119,19 @@ def test_extract_windows_anchoring():
     arr = jnp.asarray(np.arange(100.0).reshape(10, 10))
     w = 4
     wins = np.asarray(_extract_windows(arr, jnp.asarray([5]), jnp.asarray([5]), w, w))
-    # rolling(center=True) anchor: start = c - (w-1)//2
-    expected = np.arange(100.0).reshape(10, 10)[4:8, 4:8].reshape(-1)
+    # xarray rolling(center=True) anchor: start = c - w//2 (pads w//2
+    # BEFORE the center — xarray Variable.rolling_window "10 -> 5, 9 -> 4";
+    # pandas rolling(center=True) agrees: a w=4 window at label i covers
+    # [i-2, i+1])
+    expected = np.arange(100.0).reshape(10, 10)[3:7, 3:7].reshape(-1)
     np.testing.assert_array_equal(wins[0], expected)
-    # border window is NaN-padded
+    # odd window: both anchors coincide at (w-1)//2
+    wins5 = np.asarray(_extract_windows(arr, jnp.asarray([5]), jnp.asarray([5]), 5, 5))
+    np.testing.assert_array_equal(
+        wins5[0], np.arange(100.0).reshape(10, 10)[3:8, 3:8].reshape(-1))
+    # border window is NaN-padded: center 0, w=4 covers [-2, 1] -> 2x2 real
     wins0 = np.asarray(_extract_windows(arr, jnp.asarray([0]), jnp.asarray([0]), w, w))
-    assert np.isnan(wins0[0]).sum() == w * w - 3 * 3
+    assert np.isnan(wins0[0]).sum() == w * w - 2 * 2
 
 
 def test_gradients2d_end_to_end():
@@ -306,8 +313,10 @@ def _oracle_full_histogram(img, line, sample, window_size, windows_at, bins,
     il = np.abs(l2[None, :] - wl[:, None]).argmin(axis=1)
     isamp = np.abs(s2[None, :] - ws_[:, None]).argmin(axis=1)
 
-    # NaN-padded centered windows (xarray rolling(center=True).construct)
-    half = (win - 1) // 2
+    # NaN-padded centered windows (xarray rolling(center=True).construct:
+    # start pad = win // 2, i.e. window covers [c - w//2, c + w-1 - w//2];
+    # verified against pandas rolling(center=True) semantics)
+    half = win // 2
     pg2 = np.full((g2.shape[0] + 2 * win, g2.shape[1] + 2 * win), np.nan,
                   complex)
     pc = np.full_like(pg2, np.nan, dtype=float)
@@ -606,6 +615,25 @@ def test_n_angles_threads_through_fused_path():
     np.testing.assert_allclose(np.asarray(fused["weight"].data),
                                np.asarray(inst["weight"].data),
                                rtol=1e-9, atol=1e-300)
+
+
+def test_fused_cache_invalidates_on_windows_sizes_mutation():
+    """Appending a window size after a cached fused histogram must
+    produce the new combo, not serve the stale cached dataset (review
+    finding: the cache key omitted windows_sizes/downscales_factors)."""
+    img = streak_image(192, 160, angle_deg=25.0)
+    da = DimArray(img[None], dims=("pol", "line", "sample"),
+                  coords={"pol": np.array(["VV"]),
+                          "line": np.arange(192.0),
+                          "sample": np.arange(160.0)})
+    g = Gradients(da, windows_sizes=[64], downscales_factors=[1])
+    h1 = g.histogram
+    assert h1["weight"].sizes["window_size"] == 1
+    g.windows_sizes.append(96)
+    h2 = g.histogram
+    assert h2["weight"].sizes["window_size"] == 2
+    np.testing.assert_array_equal(h2["weight"].coords["window_size"],
+                                  [64, 96])
 
 
 def test_gradients_instance_mutation_honored():

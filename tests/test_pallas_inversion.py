@@ -32,6 +32,29 @@ def test_nearest_index_matches_argmin():
             assert g == np.argmin(np.abs(grid - v)), (v, g)
 
 
+def test_nearest_index_traced_grid_descending():
+    """A TRACED grid argument (e.g. the grid passed through jit as an
+    operand) must still handle descending order (review finding: the
+    concrete-only detection left searchsorted running on a descending
+    array, returning garbage indices)."""
+    import jax
+
+    asc = np.sort(np.concatenate([np.linspace(16.0, 66.0, 37),
+                                  [20.1, 33.7, 50.2]]))  # non-uniform
+    desc = asc[::-1].copy()
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([rng.uniform(10, 70, 300), [np.nan]])
+
+    f = jax.jit(lambda g, v: nearest_index_sorted(g, v))
+    for grid in (asc, desc):
+        got = np.asarray(f(jnp.asarray(grid), jnp.asarray(vals)))
+        for v, g in zip(vals, got):
+            if np.isnan(v):
+                assert g == 0
+            else:
+                assert g == np.argmin(np.abs(grid - v)), (grid[0], v, g)
+
+
 def test_bucket_by_band_structure():
     rng = np.random.default_rng(1)
     n, n_bands, block = 1000, 7, 64

@@ -403,8 +403,14 @@ def _histogram_windows(abs_win, ang_win, c_win, angles_bins):
 def _extract_windows(arr, centers_l, centers_s, pad_before, window):
     """Gather centered windows with NaN padding outside the borders.
 
-    Window anchoring matches xarray rolling(center=True).construct:
-    start index = center - (window-1)//2.
+    Window anchoring matches xarray rolling(center=True).construct
+    (xarray Variable.rolling_window pads start = window // 2 — its
+    source comment reads "10 -> 5, 9 -> 4" — and pandas rolling agrees,
+    verified: a centered w=4 window at label i covers [i-2, i+1]):
+    start index = center - window//2, covering
+    [c - w//2, c + w-1 - w//2]. For odd windows this equals the
+    (w-1)//2 anchor; for even windows (the DEFAULT config hits w=400)
+    the previous (w-1)//2 anchor was one pixel late.
     """
     fill = jnp.asarray(np.nan, dtype=arr.dtype) if jnp.issubdtype(
         arr.dtype, jnp.floating
@@ -414,8 +420,8 @@ def _extract_windows(arr, centers_l, centers_s, pad_before, window):
     def one(cl, cs):
         return lax.dynamic_slice(padded, (cl, cs), (window, window))
 
-    cl = centers_l + pad_before - (window - 1) // 2
-    cs = centers_s + pad_before - (window - 1) // 2
+    cl = centers_l + pad_before - window // 2
+    cs = centers_s + pad_before - window // 2
     ll, ss = jnp.meshgrid(cl, cs, indexing="ij")
     wins = jax.vmap(one)(ll.reshape(-1), ss.reshape(-1))
     return wins.reshape(len(centers_l) * len(centers_s), window * window)
@@ -455,7 +461,7 @@ def _banded_streaks_hist(img, centers_l, centers_s, window, angles_bins,
     cl = np.asarray(centers_l, dtype=np.int64)
     cs = jnp.asarray(np.asarray(centers_s, dtype=np.int32))
     ncs = len(np.asarray(centers_s))
-    win2 = (window - 1) // 2
+    win2 = window // 2  # leftmost row a window reaches (xarray anchor)
 
     order = None
     if np.any(np.diff(cl) < 0):  # user-set windows_at may be unsorted
@@ -936,7 +942,11 @@ class Gradients:
         at = self._windows_at_shared()
         wl = np.asarray(at["line"])
         wsamp = np.asarray(at["sample"])
-        key = (wl.tobytes(), wsamp.tobytes(), self.n_angles)
+        # key covers EVERY public attribute the fused program reads —
+        # including windows_sizes / downscales_factors, which only shape
+        # the per-combo spec loop below, not the shared window grid
+        key = (wl.tobytes(), wsamp.tobytes(), self.n_angles,
+               tuple(self.windows_sizes), tuple(self.downscales_factors))
         if self._fused_cache is not None and self._fused_cache[0] == key:
             return self._fused_cache[1]
 

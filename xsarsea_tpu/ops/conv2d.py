@@ -41,9 +41,6 @@ __all__ = [
 
 # binomial smoothing kernels (gradients.py:678, 703-706, 737-744)
 B2_KERNEL = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=np.float64) / 16.0
-B4_KERNEL = np.array(
-    [[np.convolve(np.convolve([1, 2, 1], [1, 2, 1]), [0])[0]]]
-)  # placeholder, replaced below
 
 
 def _conv_full(a, b):
@@ -91,9 +88,11 @@ def conv2d_same(img, kernel, boundary="symm", fillvalue=0.0, correlate=False):
     if not correlate:
         kernel = kernel[::-1, ::-1]
     kh, kw = kernel.shape
-    # scipy 'same' anchor for odd and even kernels
-    pt, pb = (kh - 1) // 2, kh // 2
-    pl_, pr = (kw - 1) // 2, kw // 2
+    # scipy 'same' anchor: pad k//2 BEFORE and (k-1)//2 after (verified
+    # against scipy.signal.convolve2d for odd and even kernel dims; the
+    # swapped split matches odd kernels only and shifts even ones by 1)
+    pt, pb = kh // 2, (kh - 1) // 2
+    pl_, pr = kw // 2, (kw - 1) // 2
     mode = _BOUNDARY_TO_PAD[boundary]
     kwargs = {"constant_values": fillvalue} if mode == "constant" else {}
 
@@ -167,9 +166,13 @@ def _zoom_weights(n_in, n_out):
 
 def zoom_bilinear(img, out_shape):
     """scipy.ndimage.zoom(order=1) equivalent as two matmuls (MXU)."""
-    wr = jnp.asarray(_zoom_weights(img.shape[0], out_shape[0]), dtype=img.dtype)
-    wc = jnp.asarray(_zoom_weights(img.shape[1], out_shape[1]), dtype=img.dtype)
-    return wr @ jnp.asarray(img) @ wc.T
+    img = jnp.asarray(img)
+    # fractional weights need a float dtype: casting them to an integer
+    # image dtype would truncate them to 0/1 and zero out the result
+    dt = jnp.promote_types(img.dtype, jnp.float32)
+    wr = jnp.asarray(_zoom_weights(img.shape[0], out_shape[0]), dtype=dt)
+    wc = jnp.asarray(_zoom_weights(img.shape[1], out_shape[1]), dtype=dt)
+    return wr @ img.astype(dt) @ wc.T
 
 
 @lru_cache(maxsize=64)
@@ -194,6 +197,9 @@ def resize_area(img, out_shape):
     MXU. Used by the multiscale resampler (gradients.py:336-362).
     """
     n_out_r, n_out_c = out_shape
-    wr = jnp.asarray(_area_weights(img.shape[0], n_out_r), dtype=img.dtype)
-    wc = jnp.asarray(_area_weights(img.shape[1], n_out_c), dtype=img.dtype)
-    return wr @ jnp.asarray(img) @ wc.T
+    img = jnp.asarray(img)
+    # float weights (see zoom_bilinear): integer-dtype images promote
+    dt = jnp.promote_types(img.dtype, jnp.float32)
+    wr = jnp.asarray(_area_weights(img.shape[0], n_out_r), dtype=dt)
+    wc = jnp.asarray(_area_weights(img.shape[1], n_out_c), dtype=dt)
+    return wr @ img.astype(dt) @ wc.T

@@ -160,27 +160,36 @@ def nearest_index_sorted(grid, values):
     """
     grid = jnp.asarray(grid)
     n = grid.shape[0]
-    descending = False
+
+    def asc(g):
+        i1 = jnp.clip(jnp.searchsorted(g, values), 1, n - 1)
+        d_left = values - g[i1 - 1]
+        d_right = g[i1] - values
+        return jnp.where(d_left <= d_right, i1 - 1, i1)
+
+    def desc(g):
+        # binary-search on the reversed (ascending) grid; ties must still
+        # resolve to the LOWER ORIGINAL index = higher reversed index
+        rev = g[::-1]
+        i1 = jnp.clip(jnp.searchsorted(rev, values), 1, n - 1)
+        d_left = values - rev[i1 - 1]
+        d_right = rev[i1] - values
+        idx_rev = jnp.where(d_left < d_right, i1 - 1, i1)
+        return (n - 1) - idx_rev
+
     if not isinstance(grid, jax.core.Tracer):
         gnp = np.asarray(grid, dtype=np.float64)
         fit = near_uniform_fit(gnp)
         if fit is not None:
             return nearest_index_near_uniform(grid, fit[0], fit[1], values)
-        descending = n >= 2 and gnp[0] > gnp[-1]
-    if descending:
-        # binary-search on the reversed (ascending) grid; ties must still
-        # resolve to the LOWER ORIGINAL index = higher reversed index
-        rev = grid[::-1]
-        i1 = jnp.clip(jnp.searchsorted(rev, values), 1, n - 1)
-        d_left = values - rev[i1 - 1]
-        d_right = rev[i1] - values
-        idx_rev = jnp.where(d_left < d_right, i1 - 1, i1)
-        idx = (n - 1) - idx_rev
+        idx = desc(grid) if (n >= 2 and gnp[0] > gnp[-1]) else asc(grid)
     else:
-        i1 = jnp.clip(jnp.searchsorted(grid, values), 1, n - 1)
-        d_left = values - grid[i1 - 1]
-        d_right = grid[i1] - values
-        idx = jnp.where(d_left <= d_right, i1 - 1, i1)
+        # traced grid: the sort order is unknown at trace time, and
+        # running searchsorted on a descending array silently returns
+        # garbage — evaluate BOTH orderings and select per the traced
+        # order bit (one extra binary search; every in-package caller
+        # closes over a concrete grid and never reaches this path)
+        idx = jnp.where(grid[0] > grid[-1], desc(grid), asc(grid))
     # NaN values -> index 0 (result discarded by NaN guards downstream)
     return jnp.where(jnp.isnan(values), 0, idx).astype(jnp.int32)
 
@@ -625,8 +634,11 @@ def slab_refine_pallas(lut_pad, u_pad, v_pad, feats, sband, srow0,
     ----------
     lut_pad : (I, Wp, Pp) f32 — dB LUT, padded (see build_direct_arrays).
     u_pad, v_pad : (Wp, Pp) f32 — wind-component grids, padded.
-    feats : (n_blocks*block, 4) f32 — per-pixel (s0_db, ma, mz_eff, dsig_co);
-        NaN rows mark padding slots (their output is discarded).
+    feats : (n_blocks*block, 4) f32 — per-pixel
+        (s0_db, ma/2, mz_eff/2, 1/dsig_co) — the halved wind components
+        and the RECIPROCAL of dsig, exactly as the kernel consumes them
+        (see _slab_block and the caller inversion.py stage 2); NaN rows
+        mark padding slots (their output is discarded).
     sband, srow0 : (n_blocks,) i32 — LUT incidence slice and slab start row
         per block (srow0 must be 8-aligned; rows are loaded dynamically).
     valid_mask : optional (n_blocks,) i32 — 0 marks all-padding blocks

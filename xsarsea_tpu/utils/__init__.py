@@ -272,8 +272,5 @@ def to_dB(x, eps=1e-15):
 
 
 def from_dB(x):
-    import jax.numpy as jnp
-
-    if isinstance(x, np.ndarray):
-        return 10.0 ** (x / 10.0)
+    """dB → linear (``**`` dispatches on the input's array type)."""
     return 10.0 ** (x / 10.0)
