@@ -42,6 +42,17 @@ def drain(out):
     return np.asarray(_drain_fn(leaves[-1]))
 
 
+def _synthetic_tile(ny, nx, seed):
+    """Shared synthetic streak scene (ONE source: the streaks and
+    gradients-class rates must stay comparable — two drifting copies of
+    this block would silently decouple them)."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:256, 0:256]
+    tile = 1.0 + 0.5 * np.sin(0.35 * (x + 0.6 * y))
+    return np.abs(np.tile(tile, (ny // 256, nx // 256))
+                  + 0.1 * rng.normal(size=(ny, nx))).astype(np.float32) + 0.01
+
+
 def bench_streaks():
     """Wind-streak histogram pipeline rate (BASELINE config #4).
 
@@ -55,11 +66,7 @@ def bench_streaks():
     from xsarsea_tpu.gradients import streaks_histogram_core
 
     ny, nx = 4096, 4096
-    rng = np.random.default_rng(1)
-    y, x = np.mgrid[0:256, 0:256]
-    tile = 1.0 + 0.5 * np.sin(0.35 * (x + 0.6 * y))
-    img = np.abs(np.tile(tile, (ny // 256, nx // 256))
-                 + 0.1 * rng.normal(size=(ny, nx))).astype(np.float32) + 0.01
+    img = _synthetic_tile(ny, nx, seed=1)
 
     win = 40  # 160-px windows in lg pixels (factor-4 reduced grid)
     step = win
@@ -95,19 +102,13 @@ def bench_gradients_class():
     dev tunnel's h2d path collapses to tens of MB/s and would otherwise
     time the tunnel, not the class).
     """
-    import time
-
     import jax.numpy as jnp
 
     from xsarsea_tpu.dimarray import DimArray
     from xsarsea_tpu.gradients import Gradients
 
     ny = nx = 2048
-    rng = np.random.default_rng(2)
-    y, x = np.mgrid[0:256, 0:256]
-    tile = 1.0 + 0.5 * np.sin(0.35 * (x + 0.6 * y))
-    base = np.abs(np.tile(tile, (ny // 256, nx // 256))
-                  + 0.1 * rng.normal(size=(ny, nx))).astype(np.float32) + 0.01
+    base = _synthetic_tile(ny, nx, seed=2)
     img = np.stack([base, 0.2 * base])
     img_d = jnp.asarray(img)
     drain(img_d)
@@ -183,6 +184,10 @@ def _ensure_native_lutio():
             [sys.executable, "setup.py", "build_ext", "--inplace"],
             cwd=Path(__file__).parent, capture_output=True, timeout=300,
             check=True)
+        # the package dir may already sit in the FileFinder mtime cache
+        # (scanned this very second): without invalidation the fresh .so
+        # is invisible and the bench would silently time the fallback
+        importlib.invalidate_caches()
         importlib.import_module("xsarsea_tpu._lutio")
         return True
     except Exception:  # noqa: BLE001 — toolchain absent: fallback is used

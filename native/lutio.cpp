@@ -49,10 +49,16 @@ PyObject *decode_cmod7(PyObject *, PyObject *args) {
 
     std::fseek(f, 0, SEEK_END);
     long sz = std::ftell(f);
-    if (sz < long((n_vals + 2) * sizeof(float))) {
-        return PyErr_Format(PyExc_ValueError,
-                            "%s: too small for a CMOD7 table (%ld bytes)",
-                            path, sz);
+    /* EXACT size required — the pure-Python fallback's reshape rejects
+     * any other total length, and the native path must never silently
+     * decode a wrong-layout file the fallback would refuse. (The
+     * Fortran record marker VALUE is not checked: test fixtures and
+     * some distributions pad with zeros there.) */
+    if (sz != long((n_vals + 2) * sizeof(float))) {
+        return PyErr_Format(
+            PyExc_ValueError,
+            "%s: not a CMOD7 250x73x51 table (%ld bytes, expected %ld)",
+            path, sz, long((n_vals + 2) * sizeof(float)));
     }
     std::fseek(f, sizeof(float), SEEK_SET);  // skip Fortran record head
 
@@ -102,6 +108,15 @@ PyObject *write_packed(PyObject *, PyObject *args) {
     }
     FileCloser closer{f};
 
+    /* enforce the READER's limit at write time: files the writer can
+     * produce must always be loadable (read_packed rejects mlen > 1 MiB,
+     * and the uint32 cast below would silently truncate huge lengths) */
+    if (meta_len < 0 || meta_len > (1 << 20)) {
+        Py_DECREF(arr);
+        return PyErr_Format(PyExc_ValueError,
+                            "metadata too large (%zd bytes, limit 1 MiB)",
+                            meta_len);
+    }
     uint32_t mlen = uint32_t(meta_len);
     uint32_t ndim = uint32_t(PyArray_NDIM(arr));
     bool ok = std::fwrite(kMagic, 1, 6, f) == 6 &&
@@ -116,6 +131,11 @@ PyObject *write_packed(PyObject *, PyObject *args) {
         size_t n_vals = size_t(PyArray_SIZE(arr));
         ok = std::fwrite(PyArray_DATA(arr), 4, n_vals, f) == n_vals;
     }
+    /* flush while we can still report it: fwrite success only means the
+     * stdio buffer accepted the bytes — an ENOSPC at flush time would
+     * otherwise vanish in FileCloser's destructor and leave a truncated
+     * file behind a success return */
+    ok = ok && std::fflush(f) == 0;
     Py_DECREF(arr);
     if (!ok) return PyErr_Format(PyExc_IOError, "short write to %s", path);
     Py_RETURN_NONE;

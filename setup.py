@@ -14,6 +14,9 @@ setup(
             sources=["native/lutio.cpp"],
             include_dirs=[numpy.get_include()],
             extra_compile_args=["-O3", "-std=c++17"],
+            # pure-Python fallbacks exist: a missing C++ toolchain must
+            # not make the package uninstallable from source
+            optional=True,
         )
     ],
 )

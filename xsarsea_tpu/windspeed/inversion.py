@@ -108,6 +108,14 @@ class InversionTables:
         np_dtype = np.dtype(jnp.dtype(dtype).name)
 
         if self.has_co:
+            if np.ndim(lut_co_db.data) != 3:
+                # mirror of the crosspol-slot diagnostic below: a 2-D
+                # (phi-less, crosspol) LUT in the copol slot would
+                # otherwise die on an opaque KeyError('phi')
+                raise ValueError(
+                    "copol model LUT must be 3-D (incidence, wspd, phi); "
+                    f"got {np.shape(lut_co_db.data)} — was a crosspol "
+                    "(phi-independent) model passed as the copol model?")
             # lut dims (incidence, wspd, phi)
             self.co_lut = np.ascontiguousarray(lut_co_db.data, dtype=np_dtype)
             self.co_inc = np.asarray(
@@ -201,11 +209,17 @@ def _cached_tables(model_co_name, model_cr_name, dtype_name, kwargs_key):
 
 def prepare_tables(model_co=None, model_cr=None, dtype=jnp.float32, **kwargs):
     """Build (and cache) InversionTables for the given models."""
+    # list/ndarray kwargs (range overrides etc. — Model.to_lut accepts
+    # them) must become tuples before entering the lru_cache key, the
+    # same normalization to_lut itself applies (base.py _hashable)
+    def _hashable(v):
+        return tuple(v) if isinstance(v, (list, np.ndarray)) else v
+
     return _cached_tables(
         get_model(model_co).name if model_co is not None else None,
         get_model(model_cr).name if model_cr is not None else None,
         jnp.dtype(dtype).name,
-        tuple(sorted(kwargs.items())),
+        tuple(sorted((k, _hashable(v)) for k, v in kwargs.items())),
     )
 
 
@@ -1026,6 +1040,12 @@ def _invert_source(tables: InversionTables, source, dsig_co=0.1,
     both stay O(piece) — on the axon dev tunnel, whose h2d bandwidth
     collapses once large buffers sit resident, bounded residency is also
     the main end-to-end throughput lever.
+
+    ``device_output=True`` opts out of that residency bound BY DESIGN:
+    the caller wants the full results as device arrays (downstream
+    device-side consumption), so per-piece outputs accumulate on device
+    (O(n) residency, ~16 B/px f32) and concatenate once. Use the default
+    host output for scenes that don't fit device memory.
     """
     if mode == "auto":
         mode = (
