@@ -53,6 +53,27 @@ def _synthetic_tile(ny, nx, seed):
                   + 0.1 * rng.normal(size=(ny, nx))).astype(np.float32) + 0.01
 
 
+def bench_detrend(on_tpu):
+    """sigma0_detrend rate (BASELINE config #1): public API end-to-end,
+    numpy in -> numpy out, including both transfers. Runs BEFORE the
+    inversion sections so the dev tunnel's sticky transfer collapse
+    (docs/DESIGN.md) cannot contaminate it."""
+    from xsarsea_tpu import sigma0_detrend
+
+    ny, nx = (4096, 2048) if on_tpu else (512, 256)
+    rng = np.random.default_rng(3)
+    inc2d = np.tile(np.linspace(18.0, 47.0, nx), (ny, 1))
+    s0 = rng.uniform(1e-3, 0.2, (ny, nx))
+    sigma0_detrend(s0, inc2d)  # compile + warm
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        out = sigma0_detrend(s0, inc2d)  # numpy out: materialized
+        best = max(best, ny * nx / (time.time() - t0) / 1e6)
+    assert np.isfinite(out).all()
+    return best
+
+
 def bench_streaks():
     """Wind-streak histogram pipeline rate (BASELINE config #4).
 
@@ -211,6 +232,10 @@ def main():
 
     m_co = get_model("gmf_cmod5n")
     m_cr = get_model("gmf_s1_v2")
+
+    # config #1 first: fresh-process transfers (see bench_detrend docstring)
+    detrend_mpx_s = bench_detrend(jax.default_backend() == "tpu")
+
     tables = prepare_tables(m_co, m_cr, dtype=jnp.float32)
 
     # forward-model the scene (not timed)
@@ -311,6 +336,21 @@ def main():
         drain(out)
         cmod7_mpx_s = round(n * reps / (time.time() - t0) / 1e6, 3)
 
+    # copol-only VV inversion (BASELINE config #2): no crosspol table, so
+    # the pipeline compiles without stage 3; the call signature is
+    # unchanged (crosspol operands are never-read dummies)
+    copol_mpx_s = None
+    if mode == "pallas":
+        tables_co = prepare_tables(m_co, None, dtype=jnp.float32)
+        fn_co = _get_invert_fn(tables_co, 8192, mode="pallas", dsig_co=0.1)
+        out = fn_co(*dev)
+        drain(out)
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn_co(*dev)
+        drain(out)
+        copol_mpx_s = round(n * reps / (time.time() - t0) / 1e6, 3)
+
     # host prep rate of the streamed public-API path (piece slicing,
     # complex split, f32 cast; the dB conversion now runs fused on
     # device — VERDICT r2 item 1 / r3 item 3: prep used to be ~6
@@ -358,6 +398,8 @@ def main():
         "host_prep_mpx_s": round(host_prep_mpx_s, 1),
         "pallas_fast_mpx_s": fast_mpx_s,
         "cmod7_mpx_s": cmod7_mpx_s,
+        "copol_mpx_s": copol_mpx_s,
+        "detrend_mpx_s": round(detrend_mpx_s, 1),
         "pallas_vs_exact_max_dev_m_s": pallas_vs_exact_max_dev,
         "rms_vs_truth_noisy_m_s": round(rms, 3),
         "native_lutio": native_lutio,

@@ -306,3 +306,34 @@ def test_pallas_phi_disambiguation_degenerate_ancillary():
     m = ~np.isnan(np.abs(co_e)) & (np.abs(np.asarray(co_e).imag) > 1e-4)
     np.testing.assert_array_equal(np.sign(np.asarray(co_p)[m].imag),
                                   np.sign(np.asarray(co_e)[m].imag))
+
+
+def test_pallas_copol_only_tables():
+    """Copol-only tables (has_cr=False) compile a structurally different
+    pallas program (no crosspol stage); it must match the exact path and
+    keep the canonical 7-operand call signature (crosspol operands are
+    never-read dummies). Guards the bench's BASELINE config #2 path."""
+    kwargs = dict(inc_step=0.5, wspd_step=0.5, phi_step=5.0)
+    lut_co = get_model("gmf_cmod5n").to_lut(units="dB", **kwargs)
+    tables = InversionTables(lut_co, None, dtype=jnp.float32)
+    assert not tables.has_cr
+
+    rng = np.random.default_rng(7)
+    n = 300
+    inc = rng.uniform(17.0, 50.0, n)
+    speed = rng.uniform(1.0, 28.0, n)
+    direc = rng.uniform(-np.pi, np.pi, n)
+    s0_co_db = 10 * np.log10(
+        np.asarray(get_model("gmf_cmod5n")(inc, speed,
+                                           np.abs(np.rad2deg(direc)),
+                                           broadcast=True)) + 1e-15)
+    anc = (speed + rng.normal(0, 2, n)).clip(0.3) * np.exp(1j * direc)
+    nanv = np.full(n, np.nan)
+    s0_co_db[1] = np.nan  # NaN sigma0 pixel must stay NaN
+
+    co_e, dual_e = invert_pixels(tables, inc, s0_co_db, nanv, nanv, anc,
+                                 mode="exact")
+    co_p, dual_p = invert_pixels(tables, inc, s0_co_db, nanv, nanv, anc,
+                                 mode="pallas_interpret")
+    assert np.isnan(np.abs(np.asarray(dual_p))).all()
+    assert_equal_modulo_pi_ties(co_p, co_e)
