@@ -61,14 +61,20 @@ def main():
     ref_du = np.asarray(rd_re) + 1j * np.asarray(rd_im)
     print(f"pallas_exact reference: {ref_rate:.2f} Mpx/s")
 
-    base = (inv._COARSE_DW, inv._COARSE_DPHI, inv._FAST_MARGIN)
+    base = (inv._COARSE_DW, inv._COARSE_DPHI, inv._FAST_MARGIN,
+            inv._COARSE_SPLITS)
     configs = [
-        (0.2, 8.0, 24),   # round-2 production default
-        (0.2, 4.0, 16),   # round-3 production default
-        (0.2, 4.0, 8),    # round-3 pallas_fast
+        (0.2, 8.0, 24, 2),   # round-2 production default
+        (0.2, 4.0, 16, 2),   # round-3/4 production default
+        (0.2, 4.0, 8, 2),    # round-3/4 pallas_fast
+        # exact 3-term bf16 split (no expanded-form drift beyond f32):
+        # does the extra MXU precision buy a slim margin cleanly?
+        (0.2, 4.0, 8, 3),
+        (0.2, 4.0, 16, 3),
     ]
-    for dw, dphi, margin in configs:
-        inv._COARSE_DW, inv._COARSE_DPHI, inv._FAST_MARGIN = dw, dphi, margin
+    for dw, dphi, margin, splits in configs:
+        (inv._COARSE_DW, inv._COARSE_DPHI, inv._FAST_MARGIN,
+         inv._COARSE_SPLITS) = dw, dphi, margin, splits
         try:
             fn = inv._make_pallas_invert_fn(tables, 0.1)
             (c_re, c_im, d_re, d_im), rate = run(fn)
@@ -80,12 +86,14 @@ def main():
                                                       & np.isnan(ref_du.real)))))
             dev_sp = float(np.nanmax(np.abs(np.abs(du) - np.abs(ref_du))))
             dev_co = float(np.nanmax(np.abs(np.abs(co) - np.abs(ref_co))))
-            print(f"dw={dw} dphi={dphi} margin={margin}: {rate:.2f} Mpx/s, "
+            print(f"dw={dw} dphi={dphi} margin={margin} splits={splits}: "
+                  f"{rate:.2f} Mpx/s, "
                   f"flips co={flips_co} dual={flips_du} "
                   f"({(flips_co + flips_du) / (2 * N):.1e}), "
                   f"max|dspeed| co={dev_co:.3f} dual={dev_sp:.3f} m/s")
         finally:
-            inv._COARSE_DW, inv._COARSE_DPHI, inv._FAST_MARGIN = base
+            (inv._COARSE_DW, inv._COARSE_DPHI, inv._FAST_MARGIN,
+             inv._COARSE_SPLITS) = base
 
 
 if __name__ == "__main__":

@@ -488,6 +488,11 @@ def _build_g4_grouped(tables: InversionTables, dsig_co,
 _COARSE_DW = 0.2
 _COARSE_DPHI = 4.0
 _FAST_MARGIN = 16
+# bf16 K-expansion terms for the coarse pass's dot (see _build_g4_grouped):
+# 2 keeps the resident grid operand ~3x smaller at ~2^-16 relative dot
+# error (absorbed by the margin); 3 is the exact split (sweepable: a more
+# precise coarse pass may buy a smaller margin — scripts/sweep_margin.py)
+_COARSE_SPLITS = 2
 # 'pallas_fast': same coarse grid, slim margin — deviates on <0.1% of
 # pixels (typically one wspd step; worst observed 0.9 m/s copol / 0.1
 # dual on 4M random pixels) for ~1.1x throughput
@@ -639,7 +644,8 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         g4_dev, lut_shift, n_groups_g4, gsize = _build_g4_grouped(
             tables, float(dsig_co_val),
             stride_w=max(1, round(dw / step_w)),
-            stride_p=max(1, round(_COARSE_DPHI / step_p)), splits=2)
+            stride_p=max(1, round(_COARSE_DPHI / step_p)),
+            splits=_COARSE_SPLITS)
         margin = _TURBO_MARGIN if turbo else _FAST_MARGIN
     else:
         g4_dev, lut_shift, n_groups_g4, gsize = _build_g4_grouped(
