@@ -337,3 +337,42 @@ def test_pallas_copol_only_tables():
                                  mode="pallas_interpret")
     assert np.isnan(np.abs(np.asarray(dual_p))).all()
     assert_equal_modulo_pi_ties(co_p, co_e)
+
+
+def test_pallas_coarse_splits3_matches_exact():
+    """_COARSE_SPLITS=3 (exact bf16 K-expansion) must stay within the
+    same contract as the production 2-term split: pallas == exact path.
+    Guards the sweep's (splits=3, margin=8) candidate configs."""
+    import xsarsea_tpu.windspeed.inversion as inv
+
+    kwargs = dict(inc_step=0.5, wspd_step=0.5, phi_step=5.0)
+    lut_co = get_model("gmf_cmod5n").to_lut(units="dB", **kwargs)
+    lut_cr = get_model("gmf_s1_v2").to_lut(units="dB", **kwargs)
+    tables = InversionTables(lut_co, lut_cr, dtype=jnp.float32)
+
+    rng = np.random.default_rng(11)
+    n = 300
+    inc = rng.uniform(17.0, 50.0, n)
+    speed = rng.uniform(1.0, 28.0, n)
+    direc = rng.uniform(-np.pi, np.pi, n)
+    s0_co_db = 10 * np.log10(
+        np.asarray(get_model("gmf_cmod5n")(inc, speed,
+                                           np.abs(np.rad2deg(direc)),
+                                           broadcast=True)) + 1e-15)
+    s0_cr_db = 10 * np.log10(
+        np.asarray(get_model("gmf_s1_v2")(inc, speed,
+                                          broadcast=True)) + 1e-15)
+    anc = (speed + rng.normal(0, 2, n)).clip(0.3) * np.exp(1j * direc)
+    dsig_cr = np.full(n, 0.3)
+
+    co_e, dual_e = invert_pixels(tables, inc, s0_co_db, s0_cr_db, dsig_cr,
+                                 anc, mode="exact")
+    base = (inv._COARSE_SPLITS, inv._FAST_MARGIN)
+    try:
+        inv._COARSE_SPLITS, inv._FAST_MARGIN = 3, 8
+        co_p, dual_p = invert_pixels(tables, inc, s0_co_db, s0_cr_db,
+                                     dsig_cr, anc, mode="pallas_interpret")
+    finally:
+        inv._COARSE_SPLITS, inv._FAST_MARGIN = base
+    assert_equal_modulo_pi_ties(co_p, co_e)
+    assert_equal_modulo_pi_ties(dual_p, dual_e)
