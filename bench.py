@@ -42,6 +42,27 @@ def drain(out):
     return np.asarray(_drain_fn(leaves[-1]))
 
 
+def _backend_responsive(timeout_s=300):
+    """Probe device-backend init in a subprocess.
+
+    The axon dev tunnel occasionally wedges: ``jax.devices()`` then hangs
+    forever (not an exception), which would hang this whole bench. Probing
+    in a child process bounds that; on a wedge the bench degrades to the
+    CPU path with ``tpu_unavailable: true`` instead of producing nothing.
+    Healthy backends (TPU or plain CPU) answer in seconds.
+    """
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0 and "ok" in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def _synthetic_tile(ny, nx, seed):
     """Shared synthetic streak scene (ONE source: the streaks and
     gradients-class rates must stay comparable — two drifting copies of
@@ -216,7 +237,15 @@ def _ensure_native_lutio():
 
 
 def main():
+    tpu_unavailable = not _backend_responsive()
+
     import jax
+
+    if tpu_unavailable:
+        # before any backend init: fall back to the host CPU platform so
+        # the bench still emits its JSON line on a wedged dev tunnel
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     native_lutio = _ensure_native_lutio()
@@ -403,6 +432,7 @@ def main():
         "pallas_vs_exact_max_dev_m_s": pallas_vs_exact_max_dev,
         "rms_vs_truth_noisy_m_s": round(rms, 3),
         "native_lutio": native_lutio,
+        **({"tpu_unavailable": True} if tpu_unavailable else {}),
     }))
 
 
