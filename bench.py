@@ -379,6 +379,12 @@ def main():
             out = fn_co(*dev)
         drain(out)
         copol_mpx_s = round(n * reps / (time.time() - t0) / 1e6, 3)
+        # drop the cmod7/copol-only closures (each pins a duplicate set
+        # of padded LUT operands on device) before the remaining
+        # sections, keeping residual residency at the headline level
+        tables7.__dict__.pop("_invert_fn_cache", None)
+        tables_co.__dict__.pop("_invert_fn_cache", None)
+        del fn7, fn_co, out
 
     # host prep rate of the streamed public-API path (piece slicing,
     # complex split, f32 cast; the dB conversion now runs fused on

@@ -61,7 +61,8 @@ def main():
     step_p = float(np.median(np.diff(np.asarray(tables.co_phi, np.float64))))
     g4_dev, lut_shift, n_groups, gsize = inv._build_g4_grouped(
         tables, dsig_co, stride_w=max(1, round(dw / step_w)),
-        stride_p=max(1, round(inv._COARSE_DPHI / step_p)), splits=2)
+        stride_p=max(1, round(inv._COARSE_DPHI / step_p)),
+        splits=inv._COARSE_SPLITS)
     slab_rows = WGROUP + 2 * margin
     lut_pad, u_pad, v_pad = (jnp.asarray(a) for a in build_direct_arrays(
         np.asarray(tables.co_lut, np.float32),

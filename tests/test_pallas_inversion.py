@@ -376,3 +376,26 @@ def test_pallas_coarse_splits3_matches_exact():
         inv._COARSE_SPLITS, inv._FAST_MARGIN = base
     assert_equal_modulo_pi_ties(co_p, co_e)
     assert_equal_modulo_pi_ties(dual_p, dual_e)
+
+
+def test_pallas_cache_key_includes_sweep_knobs():
+    """Mutating the sweepable module knobs must never be served a stale
+    compiled closure through the public path (review finding: the cache
+    key ignored _COARSE_SPLITS/_FAST_MARGIN)."""
+    import xsarsea_tpu.windspeed.inversion as inv
+
+    kwargs = dict(inc_step=1.0, wspd_step=1.0, phi_step=10.0)
+    t = inv.prepare_tables("gmf_cmod5n", "gmf_s1_v2", dtype=jnp.float32,
+                           **kwargs)
+    fn1 = inv._get_invert_fn(t, 8192, mode="pallas_interpret", dsig_co=0.1)
+    base = (inv._COARSE_SPLITS, inv._FAST_MARGIN)
+    try:
+        inv._COARSE_SPLITS, inv._FAST_MARGIN = 3, 8
+        fn2 = inv._get_invert_fn(t, 8192, mode="pallas_interpret",
+                                 dsig_co=0.1)
+    finally:
+        inv._COARSE_SPLITS, inv._FAST_MARGIN = base
+    assert fn1 is not fn2
+    # restored knobs hit the original entry again
+    fn3 = inv._get_invert_fn(t, 8192, mode="pallas_interpret", dsig_co=0.1)
+    assert fn3 is fn1

@@ -391,6 +391,8 @@ def _build_g4_grouped(tables: InversionTables, dsig_co,
     ~0.5 GB of intermediate buffers.
     Returns (g4 (I, n_tiles, 4, gpt*gsize), lut_shift, n_groups, gsize).
     """
+    if splits not in (2, 3):
+        raise ValueError(f"splits must be 2 or 3, got {splits!r}")
     from xsarsea_tpu.ops.pallas_inversion import WGROUP
 
     lut = np.asarray(tables.co_lut, dtype=np.float32)
@@ -894,8 +896,11 @@ def _get_invert_fn(tables, chunk_size, mode="exact", dsig_co=0.1, spec=None):
     cache = tables.__dict__.setdefault("_invert_fn_cache", {})
     if mode.startswith("pallas"):
         # the pallas path is unchunked (its postprocess is elementwise);
-        # chunk_size must not split its cache at all
-        key = (mode, float(dsig_co), spec)
+        # chunk_size must not split its cache at all. The sweepable
+        # module knobs join the key so mutating them (scripts/
+        # sweep_margin.py pattern) is never served a stale closure.
+        key = (mode, float(dsig_co), spec, _COARSE_DW, _COARSE_DPHI,
+               _FAST_MARGIN, _COARSE_SPLITS, _TURBO_DW, _TURBO_MARGIN)
     else:
         key = (chunk_size, mode, None, spec)
     if key not in cache:
