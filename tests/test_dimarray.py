@@ -148,3 +148,86 @@ def test_where_fillna():
     np.testing.assert_array_equal(da.fillna(0.0).values, [1.0, 0.0, 3.0])
     masked = da.where(da > 2.0)
     assert np.isnan(masked.values[0])
+
+
+def test_interp_descending_coord():
+    """Descending coords must interpolate correctly (review finding:
+    searchsorted without ordering gave garbage silently)."""
+    c = np.array([30.0, 20.0, 10.0])
+    da = DimArray(np.array([3.0, 2.0, 1.0]), dims=("x",), coords={"x": c})
+    out = da.interp(x=np.array([25.0, 15.0]))
+    np.testing.assert_allclose(out.values, [2.5, 1.5])
+    # out-of-range still NaN
+    out2 = da.interp(x=np.array([35.0, 5.0]))
+    assert np.isnan(out2.values).all()
+
+
+def test_interp_integer_data_promotes():
+    """Integer data promotes to float (review finding: weights cast to
+    int truncated to 0, silently returning nearest-left)."""
+    da = DimArray(np.array([0, 10], dtype=np.int32), dims=("x",),
+                  coords={"x": [0.0, 1.0]})
+    out = da.interp(x=np.array([0.5]))
+    assert np.issubdtype(out.values.dtype, np.floating)
+    np.testing.assert_allclose(out.values, [5.0])
+    oob = da.interp(x=np.array([2.0]))
+    assert np.isnan(oob.values).all()
+
+
+def test_elementwise_eq_ne():
+    """== / != are elementwise like the other comparisons (review
+    finding: fallback to identity returned scalar False)."""
+    da = make_da()
+    mask = da == 5.0
+    assert isinstance(mask, DimArray)
+    assert mask.values.sum() == 1
+    ne = da != 5.0
+    assert ne.values.sum() == da.values.size - 1
+
+
+def test_where_aligns_transposed_mask():
+    """A same-size transposed mask must be aligned by dim NAME, not
+    applied positionally (review finding)."""
+    data = np.arange(9, dtype=float).reshape(3, 3)
+    da = DimArray(data, dims=("line", "sample"),
+                  coords={"line": [0.0, 1.0, 2.0],
+                          "sample": [0.0, 1.0, 2.0]})
+    mask_t = DimArray((data.T > 4), dims=("sample", "line"),
+                      coords={"sample": [0.0, 1.0, 2.0],
+                              "line": [0.0, 1.0, 2.0]})
+    out = da.where(mask_t, -1.0)
+    np.testing.assert_array_equal(out.values, np.where(data > 4, data, -1.0))
+
+
+def test_dataset_sel_raises_on_coordless_dim():
+    """Label-selection on a variable that has the dim but no coordinate
+    raises instead of silently skipping (review finding: inconsistent
+    sizes along the dim)."""
+    from xsarsea_tpu.dimarray import DimDataset
+
+    a = DimArray(np.arange(3.0), dims=("line",), coords={"line": [0., 1., 2.]})
+    b = DimArray(np.arange(3.0), dims=("line",), coords={})
+    ds = DimDataset({"a": a, "b": b})
+    with pytest.raises(KeyError, match="no coordinate"):
+        ds.sel(line=1.0)
+
+
+def test_dataset_concat_existing_dim():
+    """concat along an existing dim concatenates (review finding: it
+    silently stacked a duplicate dim name)."""
+    from xsarsea_tpu.dimarray import DimDataset
+
+    def mk(vals, coord):
+        return DimDataset({"v": DimArray(np.asarray(vals, float),
+                                         dims=("line",),
+                                         coords={"line": coord})})
+
+    out = DimDataset.concat([mk([1, 2], [0., 1.]), mk([3], [2.])], "line")
+    assert out["v"].dims == ("line",)
+    np.testing.assert_array_equal(out["v"].values, [1., 2., 3.])
+    np.testing.assert_array_equal(np.asarray(out["v"].coords["line"]),
+                                  [0., 1., 2.])
+    # new dim still stacks
+    out2 = DimDataset.concat([mk([1, 2], [0., 1.]), mk([3, 4], [0., 1.])],
+                             "pol")
+    assert out2["v"].dims == ("pol", "line")

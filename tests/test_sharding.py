@@ -243,3 +243,35 @@ def test_invert_scenes_pallas_mode():
         m = ~np.isnan(np.abs(co_ref))
         np.testing.assert_array_equal(co.reshape(-1)[m], co_ref[m])
         np.testing.assert_array_equal(dual.reshape(-1)[m], dual_ref[m])
+
+
+def test_sharded_unknown_mode_raises(tables):
+    """Typos must not silently fall through to the exact path."""
+    from xsarsea_tpu.parallel import make_mesh, sharded_invert_pixels
+
+    mesh = make_mesh(n_data=2, n_model=1)
+    n = 64
+    rng = np.random.default_rng(0)
+    args = (rng.uniform(18, 45, n), rng.uniform(-25, -5, n),
+            rng.uniform(-35, -20, n), np.full(n, 0.2),
+            (rng.uniform(3, 20, n) * np.exp(1j * rng.uniform(-3, 3, n))))
+    with pytest.raises(ValueError, match="unknown inversion mode"):
+        sharded_invert_pixels(tables, *args, mesh=mesh, mode="palas_fast")
+
+
+def test_make_mesh_too_few_devices_raises():
+    from xsarsea_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="mesh axes must be >= 1"):
+        make_mesh(n_model=100)  # more model shards than devices
+
+
+def test_sharded_streaks_fn_cached():
+    """The jitted SPMD streaks program is reused across calls (review
+    finding: a fresh jit(partial(...)) per call retraced every time)."""
+    from xsarsea_tpu.parallel import make_mesh
+    from xsarsea_tpu.parallel.gradients import _get_fn
+
+    mesh = make_mesh(n_data=2, n_model=1)
+    assert _get_fn(40, mesh) is _get_fn(40, mesh)
+    assert _get_fn(40, mesh) is not _get_fn(20, mesh)

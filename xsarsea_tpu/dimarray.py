@@ -314,6 +314,12 @@ class DimArray:
     def _interp_1d(self, dim, new_c, bounds_error):
         ax = self._axis(dim)
         old_c = np.asarray(self.coords[dim], dtype=np.float64)
+        if len(old_c) > 1 and old_c[0] > old_c[-1]:
+            # descending coordinate (supported everywhere else — sel,
+            # nearest_index): flip to ascending before searchsorted,
+            # which would otherwise return 0/len for every point
+            flipped = self.isel({dim: slice(None, None, -1)})
+            return flipped._interp_1d(dim, new_c, bounds_error)
         if new_c.ndim == 1 and np.array_equal(old_c, new_c):
             # identity re-grid: skip the gather/lerp entirely (the
             # StackedGradients alignment hits this — windows_at is
@@ -335,6 +341,11 @@ class DimArray:
 
         xp = jnp if isinstance(self.data, jax.Array) else np
         data = xp.moveaxis(self.data, ax, 0)
+        if not (np.issubdtype(np.dtype(data.dtype), np.floating)
+                or np.issubdtype(np.dtype(data.dtype), np.complexfloating)):
+            # integer/bool data: promote (like xarray) — casting the lerp
+            # weights to the data dtype would truncate them all to 0
+            data = data.astype(jnp.float32 if xp is jnp else np.float64)
         w_b = xp.asarray(w).reshape((-1,) + (1,) * (data.ndim - 1)).astype(data.dtype)
         res = data[i0] * (1 - w_b) + data[i1] * w_b
         if oob.any():
@@ -496,11 +507,35 @@ class DimArray:
     def __ge__(self, other):
         return self._binary(other, lambda a, b: a >= b)
 
+    # elementwise like the other comparisons (and xarray): without these,
+    # ``da == flag`` silently degrades to identity comparison
+    def __eq__(self, other):
+        return self._binary(other, lambda a, b: a == b)
+
+    def __ne__(self, other):
+        return self._binary(other, lambda a, b: a != b)
+
+    __hash__ = None  # elementwise __eq__ makes instances unhashable
+
+    def _conform(self, arr):
+        """Raw data of ``arr`` laid out to this array's dim order.
+
+        A DimArray whose dims are a permutation of (a suffix of) ours is
+        transposed by NAME first — positional xp.where/broadcasting on a
+        transposed same-size mask would silently hit the wrong pixels.
+        """
+        if not isinstance(arr, DimArray):
+            return arr
+        if arr.dims != self.dims and set(arr.dims) <= set(self.dims):
+            order = tuple(d for d in self.dims if d in arr.dims)
+            if order != arr.dims:
+                arr = arr.transpose(*order)
+        return arr.data
+
     def where(self, cond, other=np.nan):
         xp = jnp if isinstance(self.data, jax.Array) else np
-        cond_data = cond.data if isinstance(cond, DimArray) else cond
-        other_data = other.data if isinstance(other, DimArray) else other
-        return self.copy(data=xp.where(cond_data, self.data, other_data))
+        return self.copy(data=xp.where(self._conform(cond), self.data,
+                                       self._conform(other)))
 
     def fillna(self, value):
         xp = jnp if isinstance(self.data, jax.Array) else np
@@ -569,6 +604,14 @@ class DimDataset:
     def sel(self, indexers=None, method=None, **kwargs):
         indexers = dict(indexers or {})
         indexers.update(kwargs)
+        for k, v in self.variables.items():
+            bad = [d for d in indexers if d in v.dims and d not in v.coords]
+            if bad:
+                # silently skipping would leave this variable full-length
+                # while others shrink — inconsistent sizes along the dim
+                raise KeyError(
+                    f"cannot label-select dim(s) {bad} on variable '{k}': "
+                    "it has the dim but no coordinate (use isel)")
         return DimDataset(
             {
                 k: v.sel({d: i for d, i in indexers.items() if d in v.coords},
@@ -613,7 +656,12 @@ class DimDataset:
 
     @staticmethod
     def concat(datasets, dim):
-        """Stack datasets along a new dim (like xr.concat with a new dim)."""
+        """Concatenate datasets along ``dim`` (like ``xr.concat``).
+
+        A dim already present in the variables concatenates along that
+        axis (coords for it are concatenated too); a new dim stacks it
+        in front.
+        """
         import numpy as _np
 
         out = {}
@@ -622,14 +670,20 @@ class DimDataset:
             arrs = [ds[k] for ds in datasets]
             first = arrs[0]
             xp = jnp if isinstance(first.data, jax.Array) else _np
-            data = xp.stack([a.data for a in arrs], axis=0)
-            out[k] = DimArray(
-                data,
-                dims=(dim,) + first.dims,
-                coords=first.coords,
-                attrs=first.attrs,
-                name=first.name,
-            )
+            if dim in first.dims:
+                ax = first.dims.index(dim)
+                data = xp.concatenate([a.data for a in arrs], axis=ax)
+                coords = dict(first.coords)
+                if dim in coords:
+                    coords[dim] = _np.concatenate(
+                        [_np.asarray(a.coords[dim]) for a in arrs])
+                out[k] = DimArray(data, dims=first.dims, coords=coords,
+                                  attrs=first.attrs, name=first.name)
+            else:
+                data = xp.stack([a.data for a in arrs], axis=0)
+                out[k] = DimArray(data, dims=(dim,) + first.dims,
+                                  coords=first.coords, attrs=first.attrs,
+                                  name=first.name)
         return DimDataset(out, attrs=datasets[0].attrs)
 
 

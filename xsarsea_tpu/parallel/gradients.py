@@ -24,6 +24,21 @@ from xsarsea_tpu.gradients import streaks_histogram_core
 
 __all__ = ["sharded_streaks_histogram"]
 
+# jitted-program cache: jax.jit keys on function identity, so a fresh
+# jit(partial(...)) per call would retrace + recompile the whole SPMD
+# pipeline every time (the same defect fixed for sharded_invert_pixels)
+_fn_cache = {}
+
+
+def _get_fn(window, mesh):
+    key = (int(window), mesh)
+    if key not in _fn_cache:
+        _fn_cache[key] = jax.jit(
+            partial(streaks_histogram_core, window=int(window)),
+            out_shardings=NamedSharding(mesh, P()),
+        )
+    return _fn_cache[key]
+
 
 def sharded_streaks_histogram(img, centers_l, centers_s, window,
                               angles_bins, mesh, data_axis="data"):
@@ -42,10 +57,7 @@ def sharded_streaks_histogram(img, centers_l, centers_s, window,
     cs = jnp.asarray(np.asarray(centers_s, np.int32))
     bins = jnp.asarray(angles_bins)
 
-    fn = jax.jit(
-        partial(streaks_histogram_core, window=int(window)),
-        out_shardings=NamedSharding(mesh, P()),
-    )
+    fn = _get_fn(window, mesh)
     weight, ratio = fn(img_sh, centers_l=cl, centers_s=cs, angles_bins=bins)
     n_l, n_s = len(np.asarray(centers_l)), len(np.asarray(centers_s))
     return (np.asarray(weight).reshape(n_l, n_s, -1),

@@ -72,9 +72,16 @@ def _sharded_invert_pixels_pallas(tables, inc, s0_co_db, s0_cr_db, dsig_cr,
     """Data-parallel fused-kernel inversion over the mesh's 'data' axis."""
     from xsarsea_tpu.windspeed.inversion import _make_pallas_invert_fn
 
+    from xsarsea_tpu.windspeed import inversion as _inv
+
     cache = tables.__dict__.setdefault("_invert_fn_cache", {})
-    # Mesh is hashable and compared by devices+axes — no id() reuse issues
-    key = ("sharded", mode, float(dsig_co), mesh)
+    # Mesh is hashable and compared by devices+axes — no id() reuse
+    # issues. The sweepable module knobs join the key for the same
+    # reason as the single-device key: a mutated knob must never be
+    # served a stale compiled closure.
+    key = ("sharded", mode, float(dsig_co), mesh, _inv._COARSE_DW,
+           _inv._COARSE_DPHI, _inv._FAST_MARGIN, _inv._COARSE_SPLITS,
+           _inv._TURBO_DW, _inv._TURBO_MARGIN)
     if key not in cache:
         cache[key] = _make_pallas_invert_fn(
             tables, dsig_co,
@@ -137,6 +144,9 @@ def sharded_invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db,
     n_data = mesh.shape["data"]
     n_model = mesh.shape["model"]
 
+    if mode == "auto":  # same resolution rule as invert_pixels
+        mode = ("pallas" if jax.default_backend() == "tpu"
+                and tables.has_co and n_model == 1 else "exact")
     if mode.startswith("pallas"):
         if n_model != 1:
             raise ValueError(
@@ -144,6 +154,10 @@ def sharded_invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db,
         return _sharded_invert_pixels_pallas(
             tables, inc, s0_co_db, s0_cr_db, dsig_cr, ancillary_wind,
             mesh, dsig_co=dsig_co, mode=mode)
+    if mode != "exact":
+        # the single-device dispatcher raises here too — falling through
+        # to the exact path on a typo would silently skip the kernels
+        raise ValueError(f"unknown inversion mode '{mode}'")
     # caches live on the ORIGINAL tables object (the padded copy below is
     # rebuilt fresh, with empty caches, whenever padding applies)
     cache = tables.__dict__.setdefault("_invert_fn_cache", {})

@@ -27,6 +27,10 @@ def make_mesh(n_data=None, n_model=1, devices=None):
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
+    if n_data < 1 or n_model < 1:
+        raise ValueError(
+            f"mesh axes must be >= 1, got data={n_data} model={n_model} "
+            f"({len(devices)} devices available)")
     n = n_data * n_model
     if n > len(devices):
         raise ValueError(f"need {n} devices, have {len(devices)}")
