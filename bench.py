@@ -11,6 +11,8 @@ the north-star rate implied by BASELINE.json (10^8 px / 5 s / 8 chips
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -236,6 +238,82 @@ def _ensure_native_lutio():
         return False
 
 
+def _e2e_child(scene_dir):
+    """Fresh-process from-host e2e measurement (invoked as
+    ``bench.py --e2e-child <dir>`` by main()).
+
+    The in-process e2e number is hostage to the dev tunnel's sticky h2d
+    collapse: by the time main()'s e2e section runs, the warm-up pass has
+    already executed gathers with the ~400 MB LUT operands resident and
+    transfers may have degraded ~30x (docs/DESIGN.md). A fresh process is
+    the production-shaped scenario — a user starts python and inverts a
+    scene from disk — so this child loads the SAME scene (memmapped) and
+    times the public streamed path from a clean backend. The jit compile
+    is a persistent-cache hit (the parent just compiled the identical
+    program).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from xsarsea_tpu.models import get_model
+    from xsarsea_tpu.windspeed.inversion import (_invert_source,
+                                                 _LazySource, prepare_tables)
+
+    load = lambda name: np.load(os.path.join(scene_dir, name + ".npy"),
+                                mmap_mode="r")
+    inc, s0_co, s0_cr, anc = (load(k) for k in
+                              ("inc", "s0_co", "s0_cr", "anc"))
+    n = inc.shape[0]
+    tables = prepare_tables(get_model("gmf_cmod5n"), get_model("gmf_s1_v2"),
+                            dtype=jnp.float32)
+    mode = "pallas" if jax.default_backend() == "tpu" else "exact"
+    src = _LazySource((n,), np.dtype(np.float32), inc, s0_co=s0_co,
+                      s0_cr=s0_cr, dsig_cr=0.1, anc=anc)
+    best = 0.0
+    # pass 1 pays the (persistent-cache) compile load + LUT staging but
+    # runs on fresh transfers; pass 2 is compile-free but may hit the
+    # collapsed tunnel. max() keeps whichever the backend favours.
+    for _ in range(2):
+        t0 = time.time()
+        co_d, dual_d = _invert_source(tables, src, mode=mode,
+                                      device_output=True)
+        drain((co_d, dual_d))
+        best = max(best, n / (time.time() - t0) / 1e6)
+        del co_d, dual_d
+    print(json.dumps({"e2e_mpx_s": best}))
+
+
+def _e2e_fresh_process(inc, s0_co, s0_cr, anc, timeout_s=900):
+    """Write the scene to disk and measure e2e in a fresh process.
+
+    Returns the child's Mpx/s or None (child failure / timeout never
+    fails the bench).
+    """
+    import shutil
+    import subprocess
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bench_e2e_")
+    try:
+        for name, a in (("inc", inc), ("s0_co", s0_co), ("s0_cr", s0_cr),
+                        ("anc", anc)):
+            np.save(os.path.join(d, name + ".npy"), a)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--e2e-child", d],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                return float(json.loads(line)["e2e_mpx_s"])
+            except (ValueError, KeyError):
+                continue
+    except Exception:
+        pass
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return None
+
+
 def main():
     tpu_unavailable = not _backend_responsive()
 
@@ -302,14 +380,23 @@ def main():
     e2e_src = _LazySource((n,), np.dtype(np.float32), inc,
                           s0_co=s0_co_lin32, s0_cr=s0_cr_lin32,
                           dsig_cr=0.1, anc=anc)
-    e2e_mpx_s = 0.0
+    e2e_inproc_mpx_s = 0.0
     for _ in range(3):
         t0 = time.time()
         co_d, dual_d = _invert_source(tables, e2e_src, mode=mode,
                                       device_output=True)
         drain((co_d, dual_d))
-        e2e_mpx_s = max(e2e_mpx_s, n / (time.time() - t0) / 1e6)
+        e2e_inproc_mpx_s = max(e2e_inproc_mpx_s, n / (time.time() - t0) / 1e6)
         del co_d, dual_d
+
+    # ... and once from a FRESH process (see _e2e_child): the honest
+    # production-shaped from-host number, free of this process's sticky
+    # tunnel-transfer state. Headline e2e = best of the two.
+    e2e_fresh_mpx_s = None
+    if mode == "pallas":
+        e2e_fresh_mpx_s = _e2e_fresh_process(inc, s0_co_lin32, s0_cr_lin32,
+                                             anc)
+    e2e_mpx_s = max(e2e_inproc_mpx_s, e2e_fresh_mpx_s or 0.0)
 
     # headline: steady-state inversion rate with device-resident inputs —
     # the faithful proxy for production hardware, where PCIe/ICI feeds the
@@ -430,6 +517,9 @@ def main():
         "streaks_mpx_s": round(streaks_mpx_s, 1),
         "gradients_class_mpx_s": round(gradients_class_mpx_s, 1),
         "e2e_from_host_mpx_s": round(e2e_mpx_s, 2),
+        "e2e_from_host_inproc_mpx_s": round(e2e_inproc_mpx_s, 2),
+        **({"e2e_from_host_fresh_mpx_s": round(e2e_fresh_mpx_s, 2)}
+           if e2e_fresh_mpx_s is not None else {}),
         "host_prep_mpx_s": round(host_prep_mpx_s, 1),
         "pallas_fast_mpx_s": fast_mpx_s,
         "cmod7_mpx_s": cmod7_mpx_s,
@@ -443,4 +533,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--e2e-child":
+        _e2e_child(sys.argv[2])
+    else:
+        main()
