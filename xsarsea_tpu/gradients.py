@@ -1113,8 +1113,11 @@ def circ_smooth(hist):
         kl = len(B)
         p0, p1 = (kl - 1) // 2, kl // 2
         x = jnp.pad(flat, ((0, 0), (p0, p1)))
+        # precision=HIGHEST: the default routes f32 conv through the MXU
+        # with bf16 inputs (~1e-3 rel error; see ops/conv2d.py)
         flat = lax.conv_general_dilated(
-            x[:, None, :], k[None, None, :], window_strides=(1,), padding="VALID"
+            x[:, None, :], k[None, None, :], window_strides=(1,),
+            padding="VALID", precision=lax.Precision.HIGHEST,
         )[:, 0, :]
 
     flat = flat[:, pad:-pad]

@@ -66,16 +66,76 @@ _BOUNDARY_TO_PAD = {"symm": "symmetric", "reflect101": "reflect", "fill": "const
                     "wrap": "wrap"}
 
 
+def _mm(a, b):
+    """Matmul at full input precision (f32 on TPU, not the bf16 default)."""
+    return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
+
+
 def _conv_valid(img, kernel):
-    """2-D valid cross-correlation via lax.conv (f32/f64 by input dtype)."""
+    """2-D valid cross-correlation via lax.conv (f32/f64 by input dtype).
+
+    ``precision=HIGHEST``: without it XLA feeds the TPU MXU bf16 inputs
+    (~2e-3 relative error on f32 data — measured vs the scipy oracle).
+    """
     k = jnp.asarray(kernel, dtype=img.dtype)
     out = lax.conv_general_dilated(
         img[None, None],
         k[None, None],
         window_strides=(1, 1),
         padding="VALID",
+        precision=lax.Precision.HIGHEST,
     )
     return out[0, 0]
+
+
+@lru_cache(maxsize=64)
+def _separate_kernel(kernel_bytes, shape):
+    """Exact rank-1 factorization of a stencil, or None.
+
+    Returns (col (kh,), row (kw,)) f64 vectors with ``outer(col, row)``
+    EXACTLY equal to the kernel (bitwise in f64) — true for every kernel
+    in this module (binomial products and Scharr, all dyadic). Non-
+    factorizable kernels return None and take the lax.conv path.
+    """
+    k = np.frombuffer(kernel_bytes, dtype=np.float64).reshape(shape)
+    i0, j0 = np.unravel_index(np.argmax(np.abs(k)), k.shape)
+    if k[i0, j0] == 0:
+        return None  # all-zero kernel: lax.conv handles it
+    row = k[i0, :] / k[i0, j0]
+    col = k[:, j0]
+    if not np.array_equal(np.outer(col, row), k):
+        return None
+    return col, row
+
+
+def _conv1d_slices(x, taps, axis, mode, fill):
+    """1-D 'same' convolution along ``axis`` as shifted slice + FMA.
+
+    The TPU-fast stencil form: XLA fuses the shifted reads into one
+    vectorized elementwise pass (measured ~16x faster than the
+    single-channel lax.conv lowering, and fully f32-accurate — no MXU
+    bf16 rounding). Taps with weight exactly 0 (Scharr's center, the
+    dilated B22/B42 lattices) are skipped.
+
+    scipy 'same' anchor: pad k//2 BEFORE and (k-1)//2 after (verified
+    against scipy.signal.convolve2d for odd and even kernel dims; the
+    swapped split matches odd kernels only and shifts even ones by 1).
+    """
+    k = len(taps)
+    pb, pa = k // 2, (k - 1) // 2
+    pads = [(0, 0), (0, 0)]
+    pads[axis] = (pb, pa)
+    kwargs = {"constant_values": fill} if mode == "constant" else {}
+    xp = jnp.pad(x, pads, mode=mode, **kwargs)
+    n = x.shape[axis]
+    out = None
+    for i, w in enumerate(taps):
+        if w == 0.0:
+            continue
+        sl = lax.slice_in_dim(xp, i, i + n, axis=axis)
+        term = sl * jnp.asarray(w, dtype=x.dtype)
+        out = term if out is None else out + term
+    return out
 
 
 def conv2d_same(img, kernel, boundary="symm", fillvalue=0.0, correlate=False):
@@ -83,22 +143,38 @@ def conv2d_same(img, kernel, boundary="symm", fillvalue=0.0, correlate=False):
 
     True convolution (kernel flipped) unless ``correlate=True``; supports
     complex images by convolving the parts separately (TPU conv is real).
+
+    Separable kernels (every stencil in this pipeline: B2/B4/B22/B42
+    binomials and Scharr) run as two shifted-slice 1-D passes — the
+    fast AND accurate stencil form on TPU (the single-channel lax.conv
+    lowering routes through the MXU with bf16 inputs: ~2e-3 relative
+    error and ~16x slower, measured). Padding one axis commutes exactly
+    with convolving the other (mirrored columns are copies; a zero fill
+    column convolves to zero), so boundary handling is bit-faithful to
+    the fused 2-D pad for symm/reflect/wrap and for fill == 0.
     """
     kernel = np.asarray(kernel, dtype=np.float64)
     if not correlate:
         kernel = kernel[::-1, ::-1]
     kh, kw = kernel.shape
-    # scipy 'same' anchor: pad k//2 BEFORE and (k-1)//2 after (verified
-    # against scipy.signal.convolve2d for odd and even kernel dims; the
-    # swapped split matches odd kernels only and shifts even ones by 1)
-    pt, pb = kh // 2, (kh - 1) // 2
-    pl_, pr = kw // 2, (kw - 1) // 2
+    factors = _separate_kernel(kernel.tobytes(), kernel.shape)
     mode = _BOUNDARY_TO_PAD[boundary]
-    kwargs = {"constant_values": fillvalue} if mode == "constant" else {}
+    if factors is not None and not (mode == "constant" and fillvalue != 0.0):
+        col, row = factors
 
-    def run(x):
-        xp = jnp.pad(x, ((pt, pb), (pl_, pr)), mode=mode, **kwargs)
-        return _conv_valid(xp, kernel)
+        def run(x):
+            y = _conv1d_slices(x, tuple(col), 0, mode, fillvalue)
+            return _conv1d_slices(y, tuple(row), 1, mode, fillvalue)
+
+    else:
+        # see _conv1d_slices for the anchor rule
+        pt, pb = kh // 2, (kh - 1) // 2
+        pl_, pr = kw // 2, (kw - 1) // 2
+        kwargs = {"constant_values": fillvalue} if mode == "constant" else {}
+
+        def run(x):
+            xp = jnp.pad(x, ((pt, pb), (pl_, pr)), mode=mode, **kwargs)
+            return _conv_valid(xp, kernel)
 
     img = jnp.asarray(img)
     if jnp.issubdtype(img.dtype, jnp.complexfloating):
@@ -172,7 +248,8 @@ def zoom_bilinear(img, out_shape):
     dt = jnp.promote_types(img.dtype, jnp.float32)
     wr = jnp.asarray(_zoom_weights(img.shape[0], out_shape[0]), dtype=dt)
     wc = jnp.asarray(_zoom_weights(img.shape[1], out_shape[1]), dtype=dt)
-    return wr @ img.astype(dt) @ wc.T
+    # full f32 MXU precision: the default feeds bf16 (~1e-3 rel error)
+    return _mm(_mm(wr, img.astype(dt)), wc.T)
 
 
 @lru_cache(maxsize=64)
@@ -202,4 +279,5 @@ def resize_area(img, out_shape):
     dt = jnp.promote_types(img.dtype, jnp.float32)
     wr = jnp.asarray(_area_weights(img.shape[0], n_out_r), dtype=dt)
     wc = jnp.asarray(_area_weights(img.shape[1], n_out_c), dtype=dt)
-    return wr @ img.astype(dt) @ wc.T
+    # full f32 MXU precision: the default feeds bf16 (~1e-3 rel error)
+    return _mm(_mm(wr, img.astype(dt)), wc.T)
