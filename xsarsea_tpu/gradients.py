@@ -354,7 +354,7 @@ def local_gradients(image):
 # ------------------------------------------------- windowed histogram kernel
 
 @jax.jit
-def _histogram_windows(abs_win, ang_win, c_win, angles_bins):
+def _histogram_windows(abs_win, ang_win, c_win, angles_bins, total=None):
     """Direction histograms for a batch of windows.
 
     abs_win/ang_win: (nwin, wpix) modulus and angle of the complex local
@@ -364,9 +364,15 @@ def _histogram_windows(abs_win, ang_win, c_win, angles_bins):
     gradient_histogram (gradients.py:828-879): weights ``r*c`` with
     r = |g2|/(|g2|+median|g2|) over the window's valid pixels;
     bin k = round((angle-start)/step).
+
+    ``total``: the true window pixel count for the used_ratio
+    denominator — pass window**2 when the windows came from
+    _extract_windows' clipped slabs (wpix < window**2 at grid edges).
     """
     n_angles = angles_bins.shape[0]
     nwin, wpix = abs_win.shape
+    if total is None:
+        total = wpix
 
     abs_g2 = abs_win
     mask1 = (~jnp.isnan(abs_g2)) & (abs_g2 > 0)
@@ -395,13 +401,13 @@ def _histogram_windows(abs_win, ang_win, c_win, angles_bins):
     flat_idx = (jnp.arange(nwin, dtype=jnp.int32)[:, None] * n_angles + ki).reshape(-1)
     hist = jnp.zeros((nwin * n_angles,), wm.dtype).at[flat_idx].add(wm.reshape(-1))
     hist = hist.reshape(nwin, n_angles)
-    ratio = n / wpix
+    ratio = n / total
     return hist, ratio
 
 
 @partial(jax.jit, static_argnums=(3, 4))
 def _extract_windows(arr, centers_l, centers_s, pad_before, window):
-    """Gather centered windows with NaN padding outside the borders.
+    """Gather centered windows, clipped to the grid, NaN outside it.
 
     Window anchoring matches xarray rolling(center=True).construct
     (xarray Variable.rolling_window pads start = window // 2 — its
@@ -411,20 +417,48 @@ def _extract_windows(arr, centers_l, centers_s, pad_before, window):
     [c - w//2, c + w-1 - w//2]. For odd windows this equals the
     (w-1)//2 anchor; for even windows (the DEFAULT config hits w=400)
     the previous (w-1)//2 anchor was one pixel late.
+
+    Each window is a CLIPPED ``(min(w, n_l), min(w, n_s))`` slab at a
+    clamped start (it always covers the window∩grid intersection), with
+    in-slab-but-outside-the-window elements masked to NaN — exactly the
+    values the old NaN-pad-then-slice form produced on the intersection,
+    without gathering or (median-)sorting the padding. The default
+    multiscale config has windows larger than the lg grid (window_size
+    3200 -> 800 lg px on a 512 grid), where the pad form moved ~2.4x
+    the real data. ``pad_before`` is kept for signature stability
+    (unused). Downstream per-window reductions must normalize by the
+    true window area (w*w), not the slab width — see _histogram_windows'
+    ``total`` argument.
     """
-    fill = jnp.asarray(np.nan, dtype=arr.dtype) if jnp.issubdtype(
+    del pad_before
+    n_l, n_s = arr.shape
+    sz_l, sz_s = min(window, n_l), min(window, n_s)
+    nan = (jnp.asarray(np.nan, dtype=arr.dtype) if jnp.issubdtype(
         arr.dtype, jnp.floating
-    ) else jnp.asarray(np.nan + np.nan * 1j, dtype=arr.dtype)
-    padded = jnp.pad(arr, pad_before, constant_values=fill)
+    ) else jnp.asarray(np.nan + np.nan * 1j, dtype=arr.dtype))
 
-    def one(cl, cs):
-        return lax.dynamic_slice(padded, (cl, cs), (window, window))
+    lo_l = centers_l - window // 2            # true window start (may be <0)
+    lo_s = centers_s - window // 2
+    st_l = jnp.clip(lo_l, 0, n_l - sz_l)      # clamped slab start
+    st_s = jnp.clip(lo_s, 0, n_s - sz_s)
 
-    cl = centers_l + pad_before - window // 2
-    cs = centers_s + pad_before - window // 2
-    ll, ss = jnp.meshgrid(cl, cs, indexing="ij")
+    def one(sl, ss):
+        return lax.dynamic_slice(arr, (sl, ss), (sz_l, sz_s))
+
+    ll, ss = jnp.meshgrid(st_l, st_s, indexing="ij")
     wins = jax.vmap(one)(ll.reshape(-1), ss.reshape(-1))
-    return wins.reshape(len(centers_l) * len(centers_s), window * window)
+    wins = wins.reshape(len(centers_l), len(centers_s), sz_l, sz_s)
+
+    # slab row r = st + i is window-valid iff lo <= r < lo + window
+    def axis_mask(st, lo, sz):
+        i = lax.broadcasted_iota(jnp.int32, (st.shape[0], sz), 1)
+        r = st[:, None] + i
+        return (r >= lo[:, None]) & (r < lo[:, None] + window)
+
+    m = (axis_mask(st_l, lo_l, sz_l)[:, None, :, None]
+         & axis_mask(st_s, lo_s, sz_s)[None, :, None, :])
+    wins = jnp.where(m, wins, nan)
+    return wins.reshape(len(centers_l) * len(centers_s), sz_l * sz_s)
 
 
 #: stencil contamination radius of the input->local-gradients chain, in
@@ -542,7 +576,8 @@ def _windows_hist_fused(g2_abs, g2_angle, c, centers_l, centers_s, window,
     abs_w = _extract_windows(g2_abs, centers_l, centers_s, window, window)
     ang_w = _extract_windows(g2_angle, centers_l, centers_s, window, window)
     c_w = _extract_windows(c, centers_l, centers_s, window, window)
-    return _histogram_windows(abs_w, ang_w, c_w, angles_bins)
+    return _histogram_windows(abs_w, ang_w, c_w, angles_bins,
+                              total=window * window)
 
 
 def streaks_histogram_core(img, centers_l, centers_s, window, angles_bins):
@@ -563,7 +598,8 @@ def streaks_histogram_core(img, centers_l, centers_s, window, angles_bins):
     abs_w = _extract_windows(g2_abs, centers_l, centers_s, window, window)
     ang_w = _extract_windows(g2_angle, centers_l, centers_s, window, window)
     c_w = _extract_windows(c, centers_l, centers_s, window, window)
-    hist, ratio = _histogram_windows(abs_w, ang_w, c_w, angles_bins)
+    hist, ratio = _histogram_windows(abs_w, ang_w, c_w, angles_bins,
+                                     total=window * window)
     return hist / (window * window), jnp.nan_to_num(ratio)
 
 
