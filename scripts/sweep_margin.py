@@ -11,6 +11,7 @@ path on random pixels, and steady-state throughput.
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/sweep_margin.py
 """
 
+import os
 import time
 
 import numpy as np
@@ -71,7 +72,19 @@ def main():
         # does the extra MXU precision buy a slim margin cleanly?
         (0.2, 4.0, 8, 3),
         (0.2, 4.0, 16, 3),
+        # FULL-resolution coarse phi: the margin-8 flips above are driven
+        # by coarse-phi drift (a wrong-phi sample favors a distant wspd
+        # group). dphi=2 removes phi subsampling entirely; dw=0.4 keeps
+        # the coarse-grid entry count equal to the (0.2, 4.0) default.
+        (0.4, 2.0, 8, 2),
+        (0.4, 2.0, 8, 3),
+        (0.2, 2.0, 8, 3),
+        (0.8, 2.0, 8, 3),
     ]
+    only = os.environ.get("SWEEP_ONLY")  # e.g. "5,6,7,8": config indices
+    if only:
+        keep = {int(i) for i in only.split(",")}
+        configs = [c for i, c in enumerate(configs) if i in keep]
     for dw, dphi, margin, splits in configs:
         (inv._COARSE_DW, inv._COARSE_DPHI, inv._FAST_MARGIN,
          inv._COARSE_SPLITS) = dw, dphi, margin, splits
