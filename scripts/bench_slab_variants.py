@@ -91,10 +91,13 @@ def main():
         valid = perm >= 0
         pidx = jnp.clip(perm, 0)
         pix1 = jnp.stack([
-            (s0co * inv_dsig - lut_shift) * (-2.0),
+            s0co * inv_dsig * (-2.0),
             anc_re * (-1.0), jnp.abs(anc_im) * (-1.0),
             jnp.ones_like(s0co)], axis=1)
         feats = jnp.where(valid[:, None], pix1[pidx], jnp.nan)
+        shift_blk = jnp.asarray(np.asarray(lut_shift, np.float32))[band_of_block]
+        feats = feats.reshape(-1, block, 4).at[:, :, 0].add(
+            2.0 * shift_blk[:, None]).reshape(-1, 4)
         gstar = copol_group_argmin_pallas(
             g4_dev, feats, band_of_block, n_groups=n_wgroups, gsize=gsize,
             block=block).reshape(-1)

@@ -107,19 +107,25 @@ def main():
 
     (i_inc, perm, band_of_block), t_b1 = timed("1a bucket by incidence", s1_bucket, inc)
 
-    # --- stage 1b: feature build + gather into bucket order
+    # --- stage 1b: feature build + gather into bucket order (+ slot-space
+    # per-band centering, same as the production pipeline)
+    shift_dev = jnp.asarray(np.asarray(lut_shift, np.float32))
+
     @jax.jit
-    def s1_feats(perm, s0co, anc_re, anc_im):
+    def s1_feats(perm, band_of_block, s0co, anc_re, anc_im):
         valid = perm >= 0
         pidx = jnp.clip(perm, 0)
         pix1 = jnp.stack([
-            (s0co * inv_dsig - lut_shift) * (-2.0),
+            s0co * inv_dsig * (-2.0),
             anc_re * (-1.0), jnp.abs(anc_im) * (-1.0),
             jnp.ones_like(s0co)], axis=1)
-        return jnp.where(valid[:, None], pix1[pidx], jnp.nan)
+        feats = jnp.where(valid[:, None], pix1[pidx], jnp.nan)
+        shift_blk = shift_dev[band_of_block]
+        return feats.reshape(-1, block, 4).at[:, :, 0].add(
+            2.0 * shift_blk[:, None]).reshape(-1, 4)
 
     (feats,), t_f1 = timed("1b features + gather", lambda *a: (s1_feats(*a),),
-                           perm, s0co, anc_re, anc_im)
+                           perm, band_of_block, s0co, anc_re, anc_im)
 
     # --- stage 1c: expanded-form MXU group argmin
     @jax.jit

@@ -80,6 +80,15 @@ def main():
         (0.4, 2.0, 8, 3),
         (0.2, 2.0, 8, 3),
         (0.8, 2.0, 8, 3),
+        # cheap-coarse default candidates: halve/quarter the coarse grid
+        # and keep the full margin-16 slab (the 0-flip guarantee rides
+        # the margin; the coarse pass only has to land within it)
+        (0.8, 2.0, 16, 3),
+        (1.6, 2.0, 16, 3),
+        (0.8, 4.0, 16, 3),
+        (1.6, 4.0, 16, 3),
+        (0.8, 8.0, 16, 3),
+        (1.6, 4.0, 8, 3),
     ]
     only = os.environ.get("SWEEP_ONLY")  # e.g. "5,6,7,8": config indices
     if only:

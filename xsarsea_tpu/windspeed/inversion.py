@@ -375,9 +375,11 @@ def _build_g4_grouped(tables: InversionTables, dsig_co,
                       stride_w=1, stride_p=1, tile_target=2048, splits=3):
     """Assemble the group-aligned expanded-cost operand on device.
 
-    The scaled LUT is centered (l' -> l' - shift, same shift applied to the
-    per-pixel s0' features) — (l-s0)^2 is shift-invariant and smaller
-    magnitudes keep the expanded form's f32 absolute error tight.
+    The scaled LUT is centered PER INCIDENCE BAND (l' -> l' - shift[i],
+    the same shift applied to the per-pixel s0' features of band-i
+    blocks) — (l-s0)^2 is shift-invariant and smaller magnitudes keep
+    the expanded form's f32 absolute error tight; per-band centers are
+    ~3x tighter than the global one for CMOD-family LUTs.
 
     Entries are packed *per wspd group* (WGROUP fine rows each): group g's
     (possibly stride-subsampled, always keeping the last node) grid entries
@@ -389,7 +391,8 @@ def _build_g4_grouped(tables: InversionTables, dsig_co,
     Built host-side in numpy and shipped with ONE device_put — the
     operand is used for many calls and building it on device would churn
     ~0.5 GB of intermediate buffers.
-    Returns (g4 (I, n_tiles, 4, gpt*gsize), lut_shift, n_groups, gsize).
+    Returns (g4 (I, n_tiles, 4, gpt*gsize), lut_shift (I,) f32 per-band
+    shifts, n_groups, gsize).
     """
     if splits not in (2, 3):
         raise ValueError(f"splits must be 2 or 3, got {splits!r}")
@@ -418,9 +421,19 @@ def _build_g4_grouped(tables: InversionTables, dsig_co,
 
     scaled = lut / np.float32(dsig_co)
     finite = np.isfinite(scaled)
-    shift = np.float32(
-        (scaled[finite].max() + scaled[finite].min()) / 2.0)
-    ls_full = scaled - shift
+    # PER-BAND centering: the expanded form's comparison noise is
+    # eps * |q - 2*dot| with magnitudes ~ max l'^2, so the shift that
+    # minimizes it is the center of each incidence slice's own l range
+    # (~3x tighter than the global center for CMOD-family LUTs). The
+    # pixel-side s0' must subtract the SAME per-band shift — the
+    # pipeline applies it in slot space where every block is single-band
+    # (one tiny per-block gather + add, see _make_pallas_invert_fn).
+    lo = np.where(finite.any(axis=(1, 2)),
+                  np.nanmin(np.where(finite, scaled, np.nan), axis=(1, 2)), 0.0)
+    hi = np.where(finite.any(axis=(1, 2)),
+                  np.nanmax(np.where(finite, scaled, np.nan), axis=(1, 2)), 0.0)
+    shift = ((hi + lo) / 2.0).astype(np.float32)  # (I,)
+    ls_full = scaled - shift[:, None, None]
     u_h = u_full / 2.0
     v_h = v_full / 2.0
 
@@ -654,7 +667,6 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
             tables, float(dsig_co_val), splits=3)
         margin = SLAB_MARGIN
     slab_rows = WGROUP + 2 * margin
-    lut_shift = float(lut_shift)
     lut_pad, u_pad, v_pad = (jnp.asarray(a) for a in build_direct_arrays(
         np.asarray(tables.co_lut, np.float32),
         np.asarray(tables.co_u, np.float32),
@@ -668,9 +680,12 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
     # per-table scalars enter the jit as a runtime operand, NOT trace-time
     # constants: the compiled executable is then shared across LUT tables
     # of the same grid shape (e.g. cmod5n vs cmod7 high-res), turning a
-    # minutes-scale Mosaic recompile into a cache hit.
-    scal_dev = jnp.asarray([1.0 / float(dsig_co_val), float(lut_shift)],
-                           jnp.float32)
+    # minutes-scale Mosaic recompile into a cache hit. lut_shift is the
+    # (n_inc,) per-band centering vector (see _build_g4_grouped); packing
+    # it behind the dsig scalar keeps ONE runtime operand.
+    scal_dev = jnp.asarray(
+        np.r_[1.0 / float(dsig_co_val), np.asarray(lut_shift, np.float32)],
+        jnp.float32)
 
     # incidence nearest-index: nearest_index_sorted dispatches concrete
     # uniform grids (the common case) to the gather-free arithmetic path
@@ -708,7 +723,7 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
                     inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im, dsig_co):
         n = inc.shape[0]
         f32 = jnp.float32
-        inv_dsig, lut_shift = scal[0], scal[1]
+        inv_dsig, shift_vec = scal[0], scal[1:]
 
         # --- stage 1: bucket by incidence band, expanded-form group argmin
         i_inc = nearest_inc(inc)
@@ -721,7 +736,7 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         # (4 separate gathers over the padded index space cost ~2x more)
         pix1 = jnp.stack(
             [
-                (s0_co_db.astype(f32) * inv_dsig - lut_shift) * (-2.0),
+                s0_co_db.astype(f32) * inv_dsig * (-2.0),
                 anc_re.astype(f32) * (-1.0),
                 mz.astype(f32) * (-1.0),
                 jnp.ones_like(s0_co_db, dtype=f32),
@@ -729,6 +744,13 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
             axis=1,
         )
         feats = jnp.where(valid[:, None], pix1[pidx], jnp.nan)
+        # per-band centering of the s0' feature, applied in SLOT space:
+        # every block is single-band, so the shift is one (n_blocks,)
+        # gather from the tiny per-band table + a broadcast add — no
+        # per-pixel gather (channel 0 carries -2*s0', hence +2*shift)
+        shift_blk = shift_vec[band_of_block]  # (n_blocks,)
+        feats = feats.reshape(-1, block, 4).at[:, :, 0].add(
+            2.0 * shift_blk[:, None]).reshape(-1, 4)
 
         gstar = copol_group_argmin_pallas(
             g4, feats, band_of_block, n_groups=n_wgroups, gsize=gsize,
