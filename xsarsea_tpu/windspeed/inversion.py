@@ -459,9 +459,11 @@ def _build_g4_grouped(tables: InversionTables, dsig_co,
     # splits=3 -> exact-f32 dot (all 9 cross products; K padded 36->48
     # with a zero s_a block, Mosaic wants bf16 sublane multiples of 16).
     # splits=2 -> K = 2x2x4 = 16 exactly, ~3x smaller operand, relative
-    # dot error ~2^-16 — negligible against the slab-refine margin, so
-    # the coarse (subsampled) mode uses it; the full-grid 'pallas_exact'
-    # mode keeps splits=3 for bit-parity with the exact path.
+    # dot error ~2^-16. Every production mode now uses splits=3: the
+    # round-4 sweep measured the exact split at the SAME kernel rate as
+    # the 2-term one, and the default's dw=0.8 coarse grid keeps the
+    # K=48 operand no larger than the old (dw=0.2, K=16) one; the split
+    # error was a measurable source of margin-8 coarse drift.
     import ml_dtypes
     bf16 = ml_dtypes.bfloat16
     a0 = g4.astype(bf16)
@@ -479,39 +481,48 @@ def _build_g4_grouped(tables: InversionTables, dsig_co,
 
 
 # coarse-grid spacing for the default pallas mode's first pass, in
-# physical units: ~0.2 m/s in wspd (bounds the coarse argmin's wspd drift
-# to ~1 row) and ~4 deg in phi. The refine margin is driven mainly by the
-# coarse PHI spacing (a wrong-phi sample can favor a distant wspd group),
-# so a finer phi grid buys a much smaller slab: round-3 sweep on 4M
-# random pixels vs the full-grid pass (scripts/sweep_margin.py, high-res
-# LUTs, one v5e):
+# physical units: ~0.8 m/s in wspd and ~4 deg in phi. The refine margin
+# must absorb the coarse argmin's wspd-group drift, which has two
+# sources: coarse subsampling (a wrong-phi or skipped-wspd sample can
+# favor a distant group) and the expanded form's f32 cancellation noise
+# (~eps * max l'^2 — minimized by per-band centering and an exact
+# 3-term bf16 split, see _build_g4_grouped). Round-4 sweep on 4M
+# ADVERSARIAL uniform-random pixels vs the full-grid 'pallas_exact'
+# pass (scripts/sweep_margin.py, high-res LUTs, one v5e, per-band
+# centering + splits=3 unless noted):
 #
-#   dphi=8 margin=24 (round-2 default): ~4.7 Mpx/s, 2.4e-7 tie-class flips
-#   dphi=8 margin=16:                   ~5.2 Mpx/s, 1.0e-4 real flips
-#   dphi=4 margin=16 (this default):    ~4.9 Mpx/s, 1.2e-7 tie-class flips
-#   dphi=4 margin=8  (pallas_fast):     ~5.4 Mpx/s, 5.4e-4 flips
-#                                       (max dev 0.9 m/s co / 0.1 dual)
+#   dw=0.2 dphi=4 m=16 splits=2 (round-3 default): 6.66 Mpx/s, 0 flips
+#   dw=0.8 dphi=4 m=16 (THIS DEFAULT):             7.38 Mpx/s, 0 flips
+#   dw=0.8 dphi=2 m=16:                            7.00 Mpx/s, 0 flips
+#   dw=1.6 dphi=2 m=16:                            7.01 Mpx/s, 0 flips
+#   dw=0.4 dphi=2 m=8:                7.56 Mpx/s, 2.4e-7 (max 0.1 m/s)
+#   dw=0.8 dphi=2 m=8 (pallas_fast):  7.85 Mpx/s, 1.1e-5 (max 0.6 m/s)
+#   dw=1.6 dphi=4 m=16:               7.38 Mpx/s, 2.2e-5 (max 0.6 m/s)
+#   dw=0.8 dphi=8 m=16:               7.38 Mpx/s, 3.9e-4 (max 1.0 m/s)
+#   dw=1.6 dphi=4 m=8:                8.41 Mpx/s, 4.3e-2 — the cliff
 #
-# "tie-class" = deviations only where two grid cells attain EXACTLY equal
-# f32 cost (any windowed refine tie-breaks those by window placement;
-# deviation is then at most one wspd step at identical phi). The rate is
-# data-dependent: ~2e-7 on forward-modeled scenes, ~3e-5 on adversarial
-# uniform-random sigma0 (measured on TPU; 'pallas_exact' shows the SAME
-# flips — they are inherent to any windowed refine, not coarse drift).
-# The margin must stay a multiple of 8: srow0 = g*WGROUP - margin feeds
-# 8-aligned sublane loads.
-_COARSE_DW = 0.2
+# The surviving margin-8 flips are NEAR-TIES, not exact ties: the
+# expanded-form noise reorders rows whose direct-form costs differ by
+# ~5e-3 in a flat valley (measured on the single (0.4, 2, 8) flip:
+# true min row 103 at J=2.471916, chosen row 104 at J=2.477138, coarse
+# drifted 9+ rows). Margin 16 absorbed every such case in the sweep;
+# margin 8 trades them for ~6% throughput (pallas_fast). The margin
+# must stay a multiple of 8: srow0 = g*WGROUP - margin feeds 8-aligned
+# sublane loads.
+_COARSE_DW = 0.8
 _COARSE_DPHI = 4.0
 _FAST_MARGIN = 16
 # bf16 K-expansion terms for the coarse pass's dot (see _build_g4_grouped):
-# 2 keeps the resident grid operand ~3x smaller at ~2^-16 relative dot
-# error (absorbed by the margin); 3 is the exact split (sweepable: a more
-# precise coarse pass may buy a smaller margin — scripts/sweep_margin.py)
-_COARSE_SPLITS = 2
-# 'pallas_fast': same coarse grid, slim margin — deviates on <0.1% of
-# pixels (typically one wspd step; worst observed 0.9 m/s copol / 0.1
-# dual on 4M random pixels) for ~1.1x throughput
-_TURBO_DW = 0.2
+# 3 is the exact split; at dw=0.8 the grid operand is small enough that
+# it costs the same bytes as the old (dw=0.2, splits=2) operand and the
+# kernel rate is unchanged (7.49 vs 7.56 measured at equal configs), so
+# there is no reason to keep the 2-term approximation anywhere.
+_COARSE_SPLITS = 3
+# 'pallas_fast': full-resolution coarse phi, slim margin — deviates on
+# ~1e-5 of adversarial pixels (typically one wspd step; worst observed
+# 0.6 m/s copol / 0.1 dual on 4M random pixels) for ~1.06x throughput
+_TURBO_DW = 0.8
+_TURBO_DPHI = 2.0
 _TURBO_MARGIN = 8
 
 
@@ -654,12 +665,13 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
     block = DEFAULT_BLOCK
     if coarse:
         dw = _TURBO_DW if turbo else _COARSE_DW
+        dphi = _TURBO_DPHI if turbo else _COARSE_DPHI
         step_w = float(np.median(np.diff(np.asarray(tables.co_wspd, np.float64))))
         step_p = float(np.median(np.diff(np.asarray(tables.co_phi, np.float64))))
         g4_dev, lut_shift, n_groups_g4, gsize = _build_g4_grouped(
             tables, float(dsig_co_val),
             stride_w=max(1, round(dw / step_w)),
-            stride_p=max(1, round(_COARSE_DPHI / step_p)),
+            stride_p=max(1, round(dphi / step_p)),
             splits=_COARSE_SPLITS)
         margin = _TURBO_MARGIN if turbo else _FAST_MARGIN
     else:
@@ -922,7 +934,8 @@ def _get_invert_fn(tables, chunk_size, mode="exact", dsig_co=0.1, spec=None):
         # module knobs join the key so mutating them (scripts/
         # sweep_margin.py pattern) is never served a stale closure.
         key = (mode, float(dsig_co), spec, _COARSE_DW, _COARSE_DPHI,
-               _FAST_MARGIN, _COARSE_SPLITS, _TURBO_DW, _TURBO_MARGIN)
+               _FAST_MARGIN, _COARSE_SPLITS, _TURBO_DW, _TURBO_DPHI,
+               _TURBO_MARGIN)
     else:
         key = (chunk_size, mode, None, spec)
     if key not in cache:
@@ -1186,10 +1199,11 @@ def invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
 
     mode: 'exact' (portable full-grid argmin), 'pallas' (fused TPU
     kernels: coarse expanded-form pass + direct-form slab refine +
-    bucketed crosspol argmin; matches the full grid up to O(1e-7)
-    exact-cost-tie pixels — see the sweep table above _COARSE_DW),
-    'pallas_fast' (slim refine margin: ~1.1x faster, deviates on <0.1%
-    of pixels — see _TURBO_MARGIN), 'pallas_exact' (full-grid
+    bucketed crosspol argmin; 0 deviations vs the full-grid pass on the
+    4M-adversarial-pixel sweep — see the table above _COARSE_DW),
+    'pallas_fast' (slim refine margin: ~1.06x faster, deviates on ~1e-5
+    of pixels by typically one wspd step — see _TURBO_MARGIN),
+    'pallas_exact' (full-grid
     expanded-form pass + slab refine), '*_interpret' variants (kernels
     in interpreter mode, for CPU testing), or 'auto' (pallas on TPU when
     a copol table is present, exact elsewhere).
