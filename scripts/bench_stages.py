@@ -19,9 +19,9 @@ from xsarsea_tpu.models import get_model
 from xsarsea_tpu.windspeed import inversion as inv
 from xsarsea_tpu.ops.pallas_inversion import (
     CR_BLOCK, DEFAULT_BLOCK, SLAB_BLOCK, SLAB_MARGIN, WGROUP,
-    bucket_by_band, build_crosspol_arrays, build_direct_arrays,
-    copol_group_argmin_pallas, crosspol_argmin_pallas, nearest_index_sorted,
-    slab_refine_pallas,
+    bucket_by_band, build_crosspol_arrays, build_decode_arrays,
+    build_direct_arrays, copol_group_argmin_pallas, nearest_index_sorted,
+    slab_refine_fused_pallas,
 )
 
 N = 1 << 23
@@ -150,73 +150,65 @@ def main():
                                         s2_bucket, perm, gstar,
                                         band_of_block)
 
-    # --- stage 2b: slab features + refine kernel
+    # --- stage 2b: fused slab refine + in-kernel decode + crosspol
+    # (the production kernel; see slab_refine_fused_pallas)
+    w_half_d, phi_row_d = (jnp.asarray(a) for a in build_decode_arrays(
+        tables.co_wspd, tables.co_phir, wp_rows, int(lut_pad.shape[2])))
+
     @jax.jit
-    def s2_kernel(lut_pad, u_pad, v_pad, perm2, key_of_block, s0co, anc_re, anc_im):
+    def s2_kernel(lut_pad, u_pad, v_pad, w_half, phi_row, cr_pad, cr_whalf,
+                  perm2, key_of_block, s0co, s0cr, dsig_cr, anc_re, anc_im):
         valid2 = perm2 >= 0
         pidx2 = jnp.clip(perm2, 0)
+        zero = jnp.zeros((N,), jnp.float32)
         pix2 = jnp.stack([
             s0co, anc_re * 0.5, jnp.abs(anc_im) * 0.5,
-            jnp.full((N,), np.float32(1.0 / dsig_co))], axis=1)
+            jnp.full((N,), np.float32(1.0 / dsig_co)),
+            s0cr, dsig_cr, zero, zero], axis=1)
         feats2 = jnp.where(valid2[:, None], pix2[pidx2], jnp.nan)
         sband = key_of_block // n_wgroups
         srow0 = jnp.clip((key_of_block % n_wgroups) * WGROUP - margin,
                          0, wp_rows - slab_rows)
         vmask2 = (perm2.reshape(-1, SLAB_BLOCK) >= 0).any(axis=1)
-        flat_r = slab_refine_pallas(
-            lut_pad, u_pad, v_pad, feats2, sband, srow0, n_phi,
-            block=SLAB_BLOCK, n_rows=slab_rows,
-            valid_mask=vmask2.astype(jnp.int32)).reshape(-1)
-        return flat_r
+        return slab_refine_fused_pallas(
+            lut_pad, u_pad, v_pad, w_half, phi_row, cr_pad, cr_whalf,
+            feats2, sband, srow0, n_phi, block=SLAB_BLOCK,
+            n_rows=slab_rows, has_cr=True,
+            valid_mask=vmask2.astype(jnp.int32))
 
-    (flat_r,), t_k2 = timed("2b slab refine (feats+kernel)",
+    (vals_r,), t_k2 = timed("2b fused slab+decode+crosspol",
                             lambda *a: (s2_kernel(*a),),
-                            lut_pad, u_pad, v_pad, perm2, key_of_block,
-                            s0co, anc_re, anc_im)
+                            lut_pad, u_pad, v_pad, w_half_d, phi_row_d,
+                            cr_pad, cr_whalf, perm2, key_of_block,
+                            s0co, s0cr, dsig_cr, anc_re, anc_im)
 
-    # --- stage 3: scatter + packed decode (production inv._decode_rows)
-    # + crosspol bucketed argmin (reuses stage-1 buckets) — same stage
-    # boundary as the production pipeline
+    # --- stage 3: inverse-permutation gather back to pixel order (the
+    # production tail: ONE i32 scatter + ONE packed row gather — a packed
+    # row SCATTER measures 84 ns/px on TPU, the gather 3.7)
     @jax.jit
-    def s3_kernel(cr_pad, cr_whalf, perm, band_of_block, perm2, flat_r, s0co, s0cr, dsig_cr):
+    def s3_unscatter(perm2, vals_r):
         valid2 = perm2 >= 0
-        flat = jnp.zeros((N,), jnp.int32).at[
-            jnp.where(valid2, perm2, N)].set(flat_r, mode="drop")
-        flat = jnp.clip(flat, 0, n_wspd * n_phi - 1)
-        wspd_co_raw, cos_p, sin_p, phir_sol = inv._decode_rows(
-            flat, co_wspd_d, co_phir_d)
-        co_valid = ~jnp.isnan(s0co)
-        wspd_co_m = jnp.where(co_valid, wspd_co_raw, jnp.nan)
-        has_co_f = (~jnp.isnan(wspd_co_m)).astype(jnp.float32)
-        valid3 = perm >= 0
-        pidx3 = jnp.clip(perm, 0)
-        pix3 = jnp.stack([
-            s0cr, dsig_cr,
-            jnp.where(has_co_f > 0, wspd_co_m, 0.0) * 0.5, has_co_f], axis=1)
-        feats3 = jnp.where(valid3[:, None], pix3[pidx3], jnp.nan)
-        wd_r = crosspol_argmin_pallas(cr_pad, cr_whalf, feats3,
-                                      band_of_block, block=CR_BLOCK)
-        return (wspd_co_raw, cos_p, sin_p, phir_sol), wd_r.reshape(-1)
+        v4 = vals_r.transpose(0, 2, 1).reshape(-1, 4)
+        inv2 = jnp.zeros((N,), jnp.int32).at[
+            jnp.where(valid2, perm2, N)
+        ].set(jnp.arange(v4.shape[0], dtype=jnp.int32), mode="drop")
+        return v4[inv2]
 
-    (decoded, wd_r), t_k3 = timed("3  decode + crosspol argmin", s3_kernel,
-                                  cr_pad, cr_whalf, perm, band_of_block,
-                                  perm2, flat_r, s0co, s0cr, dsig_cr)
+    (vals,), t_k3 = timed("3  inverse-perm gather to pixel order",
+                          lambda *a: (s3_unscatter(*a),), perm2, vals_r)
 
-    # --- stage 4: wd_r scatter + the PRODUCTION postprocess body
+    # --- stage 4: the PRODUCTION postprocess body
     # (inv._postprocess_vectorized), not a copy
     @jax.jit
-    def s4_post(decoded, wd_r, perm, inc, s0co, s0cr, dsig_cr, anc_re, anc_im):
-        valid3 = perm >= 0
-        wspd_dual = jnp.zeros((N,), wd_r.dtype).at[
-            jnp.where(valid3, perm, N)].set(wd_r, mode="drop")
-        wspd_co_raw, cos_p, sin_p, phir_sol = decoded
+    def s4_post(vals, inc, s0co, s0cr, dsig_cr, anc_re, anc_im):
+        phir_sol = vals[:, 1]
         return inv._postprocess_vectorized(
             inc, s0co, s0cr, dsig_cr, anc_re, anc_im,
-            wspd_co_raw, cos_p, sin_p, phir_sol, wspd_dual,
-            phi_180=True, has_cr=True)
+            vals[:, 0], jnp.cos(phir_sol), jnp.sin(phir_sol), phir_sol,
+            vals[:, 2], phi_180=True, has_cr=True)
 
-    _, t_p = timed("4  postprocess vectorized", s4_post, decoded, wd_r,
-                   perm, inc, s0co, s0cr, dsig_cr, anc_re, anc_im)
+    _, t_p = timed("4  postprocess vectorized", s4_post, vals,
+                   inc, s0co, s0cr, dsig_cr, anc_re, anc_im)
 
     total = t_b1 + t_f1 + t_k1 + t_b2 + t_k2 + t_k3 + t_p
     print(f"{'sum of stages':34s} {total * 1e3:8.1f} ms   "

@@ -37,8 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "copol_group_argmin_pallas",
     "slab_refine_pallas",
+    "slab_refine_fused_pallas",
     "crosspol_argmin_pallas",
     "build_crosspol_arrays",
+    "build_decode_arrays",
     "bucket_by_band",
     "near_uniform_fit",
     "nearest_index_sorted",
@@ -684,5 +686,216 @@ def slab_refine_pallas(lut_pad, u_pad, v_pad, feats, sband, srow0,
         interpret=interpret,
     )(sband, srow0, valid_mask, feats, lut_pad, u_pad, v_pad
       ).reshape(n_blocks, block)
+
+
+# ------------------------------------------- fused slab refine + decode + cr
+#
+# Stage 3 of the round-3 pipeline (pixel-order unscatter -> packed decode
+# gather -> re-gather crosspol features over stage-1 buckets -> crosspol
+# kernel -> scatter) spent ~30 ns/px almost entirely in gathers/scatters
+# around ~3 ns/px of VPU work. When the crosspol LUT shares the copol
+# incidence axis (the production case: both LUTs are built with the same
+# grid kwargs), every slab-refine block ALREADY holds all its inputs:
+# the block is single-band, the copol winner the crosspol prior needs is
+# the slab argmin itself, and one VMEM LUT row serves the whole block.
+# So the fused kernel decodes the winner to VALUES in-kernel (wspd from
+# a row-table select, phi from a lane select) and runs the crosspol
+# argmin in the same invocation — the pipeline then does ONE packed
+# 4-wide row scatter instead of stage 3 entirely.
+
+
+def build_decode_arrays(co_wspd, co_phir, wp_rows, pp):
+    """In-kernel decode operands for the fused slab kernel.
+
+    Returns (w_half (wp_rows, 128) f32 — wspd/2 per LUT row, replicated
+    over lanes (the kernel reads (8,128)-aligned slices and selects by
+    row index; halving is exact so w_half+w_half == wspd bit-exactly),
+    phi_row (1, pp) f32 — phi (radians) per phi lane, 0 in pad lanes).
+    """
+    w = np.asarray(co_wspd, np.float32)
+    p = np.asarray(co_phir, np.float32)
+    w_half = np.zeros((wp_rows, 128), np.float32)
+    w_half[: w.shape[0], :] = (w * 0.5)[:, None]
+    phi_row = np.zeros((1, pp), np.float32)
+    phi_row[0, : p.shape[0]] = p
+    return w_half, phi_row
+
+
+def _slab_cr_kernel(sband_ref, srow0_ref, vmask_ref, feats_ref, lut_ref,
+                    u_ref, v_ref, wh_ref, phi_ref, crlut_ref, crwh_ref,
+                    out_ref, *, block, pp, wpc, n_phi_true, n_rows,
+                    has_cr, rows_per_iter=8):
+    b = pl.program_id(0)
+
+    @pl.when(vmask_ref[b] > 0)
+    def _run():
+        _slab_cr_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
+                       wh_ref, phi_ref, crlut_ref, crwh_ref, out_ref,
+                       block=block, pp=pp, wpc=wpc, n_phi_true=n_phi_true,
+                       n_rows=n_rows, has_cr=has_cr,
+                       rows_per_iter=rows_per_iter)
+
+
+def _slab_cr_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref, wh_ref,
+                   phi_ref, crlut_ref, crwh_ref, out_ref, *, block, pp, wpc,
+                   n_phi_true, n_rows, has_cr, rows_per_iter=8):
+    r0 = pl.multiple_of(srow0_ref[b], 8)
+
+    def col(i, width):
+        return jnp.broadcast_to(feats_ref[0, i, :].reshape(block, 1),
+                                (block, width))
+
+    s0 = col(0, pp)
+    ma2 = col(1, pp)
+    mz2 = col(2, pp)
+    inv_dsig = col(3, pp)
+
+    # --- direct-form slab sweep: IDENTICAL fp op sequence to _slab_block
+    def body(k, carry):
+        m, a = carry
+        for sub in range(rows_per_iter // 8):
+            base = k * rows_per_iter + sub * 8
+            lr8 = lut_ref[0, pl.ds(r0 + base, 8), :]
+            ur8 = u_ref[pl.ds(r0 + base, 8), :]
+            vr8 = v_ref[pl.ds(r0 + base, 8), :]
+            for i in range(8):
+                lr = lax.slice_in_dim(lr8, i, i + 1, axis=0)
+                ur = lax.slice_in_dim(ur8, i, i + 1, axis=0)
+                vr = lax.slice_in_dim(vr8, i, i + 1, axis=0)
+                j = ((lr - s0) * inv_dsig) ** 2 + (ur - ma2) ** 2 \
+                    + (vr - mz2) ** 2
+                better = j < m
+                m = jnp.minimum(m, j)
+                a = jnp.where(better, r0 + base + i, a)
+        return m, a
+
+    m, a = lax.fori_loop(0, n_rows // rows_per_iter, body, (
+        jnp.full((block, pp), jnp.inf, dtype=jnp.float32),
+        jnp.full((block, pp), _BIG_IDX // n_phi_true, dtype=jnp.int32),
+    ))
+    lane = lax.broadcasted_iota(jnp.int32, (block, pp), 1)
+    flat = a * n_phi_true + lane
+    gmin = jnp.min(m, axis=1, keepdims=True)
+    hit = m == gmin
+    best = jnp.min(jnp.where(hit, flat, _BIG_IDX), axis=1, keepdims=True)
+    # decode the winning flat index WITHOUT integer division: among the
+    # lanes attaining it, re-select its (row, lane) components
+    won = hit & (flat == best)
+    row_best = jnp.min(jnp.where(won, a, _BIG_IDX), axis=1)  # (block,)
+    lane_best = jnp.min(jnp.where(won, lane, _BIG_IDX), axis=1,
+                        keepdims=True)
+    phi_sol = jnp.sum(
+        jnp.where(lane == lane_best, phi_ref[0, :].reshape(1, pp), 0.0),
+        axis=1)
+
+    # wspd of the winning row: aligned (8,128) loads + static peel, select
+    # by row index (all-NaN pixels never match -> 0.0, NaN-guarded later)
+    def wbody(k, wsel):
+        for sub in range(rows_per_iter // 8):
+            base = k * rows_per_iter + sub * 8
+            w8 = wh_ref[pl.ds(r0 + base, 8), :]  # (8, 128)
+            for i in range(8):
+                wr = lax.slice(w8, (i, 0), (i + 1, 1))  # (1, 1)
+                cond = (row_best == (r0 + base + i)).reshape(block, 1)
+                wsel = jnp.where(cond, wr, wsel)
+        return wsel
+
+    w_half_sel = lax.fori_loop(
+        0, n_rows // rows_per_iter, wbody,
+        jnp.zeros((block, 1), jnp.float32)).reshape(block)
+    wspd_co = w_half_sel + w_half_sel  # exact: halving is exact
+
+    if has_cr:
+        # --- crosspol argmin, same fp sequence as _crosspol_kernel; the
+        # prior term's wco/2 is the in-kernel slab winner (exact-halved)
+        s0cr = col(4, wpc)
+        dsigcr = col(5, wpc)
+        has_co = jnp.where(jnp.isnan(feats_ref[0, 0, :]), 0.0, 1.0)
+        wco2 = (w_half_sel * has_co).reshape(block, 1)
+        has_co_c = jnp.broadcast_to(has_co.reshape(block, 1), (block, wpc))
+        crlut = crlut_ref[0, 0, :].reshape(1, wpc)
+        crwh = crwh_ref[0, :].reshape(1, wpc)
+        jcr = ((crlut - s0cr) / dsigcr) ** 2 + ((crwh - wco2) ** 2) * has_co_c
+        lane2 = lax.broadcasted_iota(jnp.int32, (block, wpc), 1)
+        gmin2 = jnp.min(jcr, axis=1, keepdims=True)
+        best2 = jnp.min(jnp.where(jcr == gmin2, lane2, _BIG_IDX), axis=1,
+                        keepdims=True)
+        wspd_cr = jnp.sum(jnp.where(lane2 == best2, crwh + crwh, 0.0),
+                          axis=1)
+    else:
+        wspd_cr = jnp.zeros((block,), jnp.float32)
+
+    out_ref[...] = jnp.stack(
+        [wspd_co, phi_sol, wspd_cr, jnp.zeros((block,), jnp.float32)]
+    ).reshape(1, 4, block)
+
+
+def slab_refine_fused_pallas(lut_pad, u_pad, v_pad, w_half, phi_row,
+                             cr_pad, cr_whalf, feats, sband, srow0,
+                             n_phi_true, block=SLAB_BLOCK, n_rows=SLAB_ROWS,
+                             has_cr=True, interpret=False, valid_mask=None,
+                             rows_per_iter=8):
+    """Fused direct-form slab refine + in-kernel decode + crosspol argmin.
+
+    Same bucketing contract as :func:`slab_refine_pallas`; requires the
+    crosspol LUT to share the copol incidence axis (the caller checks).
+
+    feats : (n_blocks*block, 8) f32 rows — (s0_co_db, ma/2, mz/2,
+        1/dsig_co, s0_cr_db, dsig_cr, 0, 0); NaN rows mark padding.
+    w_half, phi_row : decode operands (see :func:`build_decode_arrays`).
+    cr_pad, cr_whalf : crosspol operands (see build_crosspol_arrays);
+        pass 1-element dummies with ``has_cr=False``.
+
+    Returns (n_blocks, 4, block) f32 — rows (wspd_co m/s, phi_sol rad,
+    wspd_cr m/s, 0). All-NaN pixels emit 0.0 everywhere (NaN-guarded by
+    the caller's postprocess, same as the unfused path's garbage flat).
+    """
+    n_blocks = sband.shape[0]
+    pp = lut_pad.shape[2]
+    wpc = cr_pad.shape[2]
+    if n_rows % rows_per_iter or rows_per_iter % 8:
+        raise ValueError("rows_per_iter must divide n_rows, multiple of 8")
+    feats = feats.reshape(n_blocks, block, 8).transpose(0, 2, 1)
+    if valid_mask is None:
+        valid_mask = jnp.ones((n_blocks,), jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 8, block), lambda b, sb, sr, vm: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lut_pad.shape[1], pp),
+                         lambda b, sb, sr, vm: (sb[b], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((u_pad.shape[0], pp), lambda b, sb, sr, vm: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v_pad.shape[0], pp), lambda b, sb, sr, vm: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_half.shape[0], 128),
+                         lambda b, sb, sr, vm: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pp), lambda b, sb, sr, vm: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, wpc), lambda b, sb, sr, vm: (sb[b], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wpc), lambda b, sb, sr, vm: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, block),
+                               lambda b, sb, sr, vm: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    kernel = partial(_slab_cr_kernel, block=block, pp=pp, wpc=wpc,
+                     n_phi_true=n_phi_true, n_rows=n_rows, has_cr=has_cr,
+                     rows_per_iter=rows_per_iter)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 4, block), jnp.float32),
+        interpret=interpret,
+    )(sband, srow0, valid_mask, feats, lut_pad, u_pad, v_pad,
+      w_half, phi_row, cr_pad, cr_whalf)
 
 

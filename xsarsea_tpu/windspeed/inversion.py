@@ -719,19 +719,34 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         n_cr_wspd = np.asarray(tables.cr_wspd).shape[0]
         nearest_cr = _make_nearest(tables.cr_inc)
         # same incidence axis as copol (the common case: both LUTs built
-        # with the same kwargs) -> stage 3 reuses stage 1's buckets and
-        # skips its own 1-D sort (nearest_cr then never runs)
-        cr_same_inc = (CR_BLOCK == DEFAULT_BLOCK and np.array_equal(
+        # with the same kwargs) -> the crosspol argmin fuses into the
+        # slab-refine kernel (its blocks are single-band and the prior's
+        # copol winner is the slab argmin itself); with different axes
+        # the standalone stage-3 kernel re-buckets by the crosspol axis
+        cr_axes_equal = np.array_equal(
             np.asarray(tables.co_inc, np.float64),
-            np.asarray(tables.cr_inc, np.float64)))
+            np.asarray(tables.cr_inc, np.float64))
+        cr_same_inc = CR_BLOCK == DEFAULT_BLOCK and cr_axes_equal
         if cr_same_inc:
             nearest_cr = None
     else:
         # dummies keep the jit signature stable; never read when !has_cr
         cr_pad = jnp.zeros((1, 1, 128), jnp.float32)
         cr_whalf = jnp.zeros((1, 128), jnp.float32)
+        cr_axes_equal = True
+    # fused slab+decode+crosspol kernel (see slab_refine_fused_pallas):
+    # stage 3's unscatter -> decode gather -> re-gather -> kernel ->
+    # scatter round collapses into ONE packed 4-wide row scatter
+    fused_tail = (not tables.has_cr) or cr_axes_equal
+    from xsarsea_tpu.ops.pallas_inversion import (
+        build_decode_arrays, slab_refine_fused_pallas)
+    w_half_np, phi_row_np = build_decode_arrays(
+        tables.co_wspd, tables.co_phir,
+        int(lut_pad.shape[1]), int(lut_pad.shape[2]))
+    w_half, phi_row = jnp.asarray(w_half_np), jnp.asarray(phi_row_np)
 
-    def invert_flat(tables, g4, lut_pad, u_pad, v_pad, cr_pad, cr_whalf, scal,
+    def invert_flat(tables, g4, lut_pad, u_pad, v_pad, cr_pad, cr_whalf,
+                    w_half, phi_row, scal,
                     inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im, dsig_co):
         n = inc.shape[0]
         f32 = jnp.float32
@@ -776,8 +791,66 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
             block=block, slab_block=SLAB_BLOCK)
         valid2 = perm2 >= 0
         pidx2 = jnp.clip(perm2, 0)
-        # slab-kernel features: (s0, ma/2, mz/2, 1/dsig) — see
-        # build_direct_arrays for the exact-rounding argument
+        sband = key_of_block // n_wgroups
+        srow0 = jnp.clip((key_of_block % n_wgroups) * WGROUP - margin,
+                         0, wp_rows - slab_rows)
+        # skip all-padding blocks (their scattered outputs are dropped)
+        vmask2 = (perm2.reshape(-1, SLAB_BLOCK) >= 0).any(axis=1)
+
+        if fused_tail:
+            # --- stages 2+3+4-head in ONE kernel: slab refine, in-kernel
+            # decode to (wspd, phi) values, crosspol argmin (see
+            # slab_refine_fused_pallas). feats rows: (s0, ma/2, mz/2,
+            # 1/dsig, s0_cr, dsig_cr, 0, 0) — see build_direct_arrays
+            # for the exact-rounding argument on the halved operands.
+            zero = jnp.zeros_like(s0_co_db, dtype=f32)
+            pix2 = jnp.stack(
+                [
+                    s0_co_db.astype(f32),
+                    anc_re.astype(f32) * 0.5,
+                    mz.astype(f32) * 0.5,
+                    jnp.broadcast_to((1.0 / dsig_co).astype(f32),
+                                     s0_co_db.shape),
+                    s0_cr_db.astype(f32) if tables.has_cr else zero,
+                    dsig_cr.astype(f32) if tables.has_cr else zero,
+                    zero,
+                    zero,
+                ],
+                axis=1,
+            )
+            feats2 = jnp.where(valid2[:, None], pix2[pidx2], jnp.nan)
+            vals_r = slab_refine_fused_pallas(
+                lut_pad, u_pad, v_pad, w_half, phi_row, cr_pad, cr_whalf,
+                feats2, sband, srow0, n_phi, block=SLAB_BLOCK,
+                n_rows=slab_rows, has_cr=tables.has_cr, interpret=interpret,
+                valid_mask=vmask2.astype(jnp.int32),
+            ).transpose(0, 2, 1).reshape(-1, 4)
+            # pixel order via inverse-permutation GATHER, not scatter: on
+            # TPU a packed (n, 4) row scatter measures 84 ns/px while the
+            # same row gather is 3.7 — so spend ONE cheap i32 scatter on
+            # inverting the bucketing permutation and fetch all four
+            # streams with a single packed row gather (transpose of the
+            # kernel's (nb, 4, block) output is ~1 ns/px)
+            slots = vals_r.shape[0]
+            inv2 = jnp.zeros((n,), jnp.int32).at[
+                jnp.where(valid2, perm2, n)
+            ].set(jnp.arange(slots, dtype=jnp.int32), mode="drop")
+            vals = vals_r[inv2]
+            wspd_co_raw = vals[:, 0]
+            phir_sol = vals[:, 1]
+            # same input bits as the decode table's cos/sin entries
+            # (phi_sol IS the table value), so bit-identical results
+            cos_p = jnp.cos(phir_sol)
+            sin_p = jnp.sin(phir_sol)
+            wspd_dual = vals[:, 2] if tables.has_cr else None
+            return _postprocess_vectorized(
+                inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im,
+                wspd_co_raw, cos_p, sin_p, phir_sol, wspd_dual,
+                phi_180=tables.phi_180, has_cr=tables.has_cr)
+
+        # --- unfused fallback (crosspol LUT on a DIFFERENT incidence
+        # axis): separate slab refine, decode gather and re-bucketed
+        # crosspol kernel
         pix2 = jnp.stack(
             [
                 s0_co_db.astype(f32),
@@ -788,12 +861,6 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
             axis=1,
         )
         feats2 = jnp.where(valid2[:, None], pix2[pidx2], jnp.nan)
-        sband = key_of_block // n_wgroups
-        srow0 = jnp.clip((key_of_block % n_wgroups) * WGROUP - margin,
-                         0, wp_rows - slab_rows)
-
-        # skip all-padding blocks (their scattered outputs are dropped)
-        vmask2 = (perm2.reshape(-1, SLAB_BLOCK) >= 0).any(axis=1)
         flat_r = slab_refine_pallas(
             lut_pad, u_pad, v_pad, feats2, sband, srow0, n_phi,
             block=SLAB_BLOCK, n_rows=slab_rows, interpret=interpret,
@@ -864,7 +931,7 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         jitted = jax.jit(jax.shard_map(
             invert_flat,
             mesh=mesh,
-            in_specs=(_P(),) * 8 + (_P(data_axis),) * 6 + (_P(),),
+            in_specs=(_P(),) * 10 + (_P(data_axis),) * 6 + (_P(),),
             out_specs=(_P(data_axis),) * 4,
             # pallas_call outputs don't carry vma annotations
             check_vma=False,
@@ -873,7 +940,7 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
 
     def run(*args):
         return jitted(tables_slim, g4_dev, lut_pad, u_pad, v_pad,
-                      cr_pad, cr_whalf, scal_dev, *args)
+                      cr_pad, cr_whalf, w_half, phi_row, scal_dev, *args)
 
     return run
 
