@@ -399,3 +399,60 @@ def test_pallas_cache_key_includes_sweep_knobs():
     # restored knobs hit the original entry again
     fn3 = inv._get_invert_fn(t, 8192, mode="pallas_interpret", dsig_co=0.1)
     assert fn3 is fn1
+
+
+def test_pack2_slab_layout_bit_equal():
+    """The pack-2 lane layout (two wspd rows per lane-row, see
+    build_direct_arrays_packed) must be BIT-identical to the plain
+    layout: same fp op sequence, only the index decode differs."""
+    from xsarsea_tpu.ops.pallas_inversion import (
+        SLAB_BLOCK, WGROUP, build_crosspol_arrays, build_decode_arrays,
+        build_direct_arrays, build_direct_arrays_packed,
+        slab_refine_fused_pallas)
+
+    rng = np.random.default_rng(7)
+    I, W, P = 5, 90, 181  # production-like odd P (-> 384-lane pack)
+    lut = rng.uniform(-35, 0, (I, W, P)).astype(np.float32)
+    wspd = np.linspace(0.2, 50, W).astype(np.float32)
+    phir = np.deg2rad(np.linspace(0, 180, P)).astype(np.float32)
+    u = (wspd[:, None] * np.cos(phir)[None, :]).astype(np.float32)
+    v = (wspd[:, None] * np.sin(phir)[None, :]).astype(np.float32)
+    crlut = rng.uniform(-40, -20, (I, 60)).astype(np.float32)
+    crw = np.linspace(3, 80, 60).astype(np.float32)
+
+    up = build_direct_arrays(lut, u, v)
+    pk = build_direct_arrays_packed(lut, u, v)
+    assert pk is not None
+    lut_pk, u_pk, v_pk, wp_rows_pk, off = pk
+    assert off == P and lut_pk.shape[2] == 384
+    cr_pad, cr_wh = build_crosspol_arrays(crlut, crw)
+
+    margin = 16
+    slab_rows = WGROUP + 2 * margin
+    nb = 5
+    sband = rng.integers(0, I, nb).astype(np.int32)
+    hi = (min(up[0].shape[1], wp_rows_pk) - slab_rows) // 16 * 16
+    srow0 = (rng.integers(0, hi // 16 + 1, nb) * 16).astype(np.int32)
+    n = nb * SLAB_BLOCK
+    feats = np.stack([
+        rng.uniform(-30, -5, n), rng.uniform(-25, 25, n),
+        rng.uniform(0, 25, n), np.full(n, 10.0),
+        rng.uniform(-38, -22, n), np.full(n, 0.6),
+        np.zeros(n), np.zeros(n)], 1).astype(np.float32)
+    feats[3] = np.nan  # one all-NaN pixel row
+    vm = jnp.ones(nb, jnp.int32)
+
+    wh_u, pr_u = build_decode_arrays(wspd, phir, up[0].shape[1],
+                                     up[0].shape[2])
+    wh_p, pr_p = build_decode_arrays(wspd, phir, wp_rows_pk,
+                                     lut_pk.shape[2], lane_off=off)
+    args = (jnp.asarray(feats), jnp.asarray(sband), jnp.asarray(srow0), P)
+    out_u = slab_refine_fused_pallas(
+        *(jnp.asarray(x) for x in (*up, wh_u, pr_u, cr_pad, cr_wh)), *args,
+        n_rows=slab_rows, has_cr=True, interpret=True, valid_mask=vm)
+    out_p = slab_refine_fused_pallas(
+        *(jnp.asarray(x) for x in (lut_pk, u_pk, v_pk, wh_p, pr_p,
+                                   cr_pad, cr_wh)), *args,
+        n_rows=slab_rows, has_cr=True, interpret=True, valid_mask=vm,
+        lane_off=off)
+    np.testing.assert_array_equal(np.asarray(out_u), np.asarray(out_p))

@@ -452,6 +452,48 @@ def build_direct_arrays(lut_db, u, v):
     return lut_pad, u_pad, v_pad
 
 
+def build_direct_arrays_packed(lut_db, u, v):
+    """Pack-2 lane layout for the slab sweep: two wspd rows per lane-row.
+
+    With P true phi lanes padded to ``Pp = 128*ceil(P/128)``, the plain
+    layout wastes ``Pp - P`` lanes of VPU work on EVERY row (29% at the
+    production P=181 -> Pp=256). This layout places the row pair
+    (2r, 2r+1) side by side on one lane-row of width
+    ``L2 = 128*ceil(2P/128)`` — row 2r at lanes [0, P), row 2r+1 at
+    [P, 2P), pad beyond — so the sweep runs half as many iterations on
+    1.5x the lanes: 25% fewer VPU ops at P=181, with the per-element fp
+    op sequence unchanged (bit-identical costs; only the index decode
+    differs, see _slab_cr_block's pack2 branch).
+
+    Returns ``(lut_pk (I, Wp/2, L2), u_pk, v_pk, wp_rows=Wp, lane_off=P)``
+    with Wp 16-aligned (so 16-aligned true srow0 maps to an 8-aligned
+    packed start row), or ``None`` when the layout saves nothing
+    (``L2 >= 2*Pp``, e.g. P a multiple of 128 or just above it).
+    """
+    lut_db = np.asarray(lut_db, dtype=np.float32)
+    I, W, P = lut_db.shape
+    L2 = ((2 * P + 127) // 128) * 128
+    if L2 >= 2 * (((P + 127) // 128) * 128):
+        return None
+    Wp = ((W + 63) // 16 + 1) * 16  # 16-aligned rows + slab slack
+    lut_t = np.full((I, Wp, P), _PAD_LUT, np.float32)
+    lut_t[:, :W] = lut_db
+    u_t = np.zeros((Wp, P), np.float32)
+    u_t[:W] = np.asarray(u, np.float32) * 0.5
+    v_t = np.zeros((Wp, P), np.float32)
+    v_t[:W] = np.asarray(v, np.float32) * 0.5
+    lut_pk = np.full((I, Wp // 2, L2), _PAD_LUT, np.float32)
+    u_pk = np.zeros((Wp // 2, L2), np.float32)
+    v_pk = np.zeros((Wp // 2, L2), np.float32)
+    lut_pk[:, :, :P] = lut_t[:, 0::2]
+    lut_pk[:, :, P:2 * P] = lut_t[:, 1::2]
+    u_pk[:, :P] = u_t[0::2]
+    u_pk[:, P:2 * P] = u_t[1::2]
+    v_pk[:, :P] = v_t[0::2]
+    v_pk[:, P:2 * P] = v_t[1::2]
+    return lut_pk, u_pk, v_pk, Wp, P
+
+
 CR_BLOCK = 256  # pixels per crosspol-argmin block (on sublanes)
 
 
@@ -704,13 +746,18 @@ def slab_refine_pallas(lut_pad, u_pad, v_pad, feats, sband, srow0,
 # 4-wide row scatter instead of stage 3 entirely.
 
 
-def build_decode_arrays(co_wspd, co_phir, wp_rows, pp):
+def build_decode_arrays(co_wspd, co_phir, wp_rows, pp, lane_off=None):
     """In-kernel decode operands for the fused slab kernel.
 
     Returns (w_half (wp_rows, 128) f32 — wspd/2 per LUT row, replicated
     over lanes (the kernel reads (8,128)-aligned slices and selects by
     row index; halving is exact so w_half+w_half == wspd bit-exactly),
     phi_row (1, pp) f32 — phi (radians) per phi lane, 0 in pad lanes).
+
+    With ``lane_off`` (the pack-2 layout of build_direct_arrays_packed),
+    phi_row carries the phi value of each PACKED lane: the true phi
+    vector at lanes [0, P) and again at [lane_off, lane_off+P), so the
+    kernel's winner-lane select needs no lane decode.
     """
     w = np.asarray(co_wspd, np.float32)
     p = np.asarray(co_phir, np.float32)
@@ -718,13 +765,15 @@ def build_decode_arrays(co_wspd, co_phir, wp_rows, pp):
     w_half[: w.shape[0], :] = (w * 0.5)[:, None]
     phi_row = np.zeros((1, pp), np.float32)
     phi_row[0, : p.shape[0]] = p
+    if lane_off is not None:
+        phi_row[0, lane_off: lane_off + p.shape[0]] = p
     return w_half, phi_row
 
 
 def _slab_cr_kernel(sband_ref, srow0_ref, vmask_ref, feats_ref, lut_ref,
                     u_ref, v_ref, wh_ref, phi_ref, crlut_ref, crwh_ref,
                     out_ref, *, block, pp, wpc, n_phi_true, n_rows,
-                    has_cr, rows_per_iter=8):
+                    has_cr, rows_per_iter=8, lane_off=None):
     b = pl.program_id(0)
 
     @pl.when(vmask_ref[b] > 0)
@@ -733,13 +782,31 @@ def _slab_cr_kernel(sband_ref, srow0_ref, vmask_ref, feats_ref, lut_ref,
                        wh_ref, phi_ref, crlut_ref, crwh_ref, out_ref,
                        block=block, pp=pp, wpc=wpc, n_phi_true=n_phi_true,
                        n_rows=n_rows, has_cr=has_cr,
-                       rows_per_iter=rows_per_iter)
+                       rows_per_iter=rows_per_iter, lane_off=lane_off)
 
 
 def _slab_cr_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref, wh_ref,
                    phi_ref, crlut_ref, crwh_ref, out_ref, *, block, pp, wpc,
-                   n_phi_true, n_rows, has_cr, rows_per_iter=8):
-    r0 = pl.multiple_of(srow0_ref[b], 8)
+                   n_phi_true, n_rows, has_cr, rows_per_iter=8,
+                   lane_off=None):
+    # pack2 (lane_off set): lut/u/v carry the build_direct_arrays_packed
+    # layout — the sweep iterates n_rows//2 PACKED rows of pp=L2 lanes;
+    # ``a`` then holds packed-row indices and the (row, phi-lane) decode
+    # happens once after the sweep. The per-element fp op sequence is
+    # identical to the plain layout, so costs are bit-equal and the
+    # first-minimum tie rule is reproduced exactly on the true
+    # (wspd-major, phi-minor) flat order (each true (row, lane) pair
+    # appears on exactly one packed lane; two packed lanes can never
+    # decode to the same flat index because their rows differ in parity
+    # while |lane delta| < n_phi_true).
+    pack2 = lane_off is not None
+    r0 = pl.multiple_of(srow0_ref[b], 8)  # true-row start (wspd decode)
+    if pack2:
+        r0s = pl.multiple_of(srow0_ref[b] // 2, 8)
+        n_sweep = n_rows // 2
+    else:
+        r0s = r0
+        n_sweep = n_rows
 
     def col(i, width):
         return jnp.broadcast_to(feats_ref[0, i, :].reshape(block, 1),
@@ -755,9 +822,9 @@ def _slab_cr_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref, wh_ref,
         m, a = carry
         for sub in range(rows_per_iter // 8):
             base = k * rows_per_iter + sub * 8
-            lr8 = lut_ref[0, pl.ds(r0 + base, 8), :]
-            ur8 = u_ref[pl.ds(r0 + base, 8), :]
-            vr8 = v_ref[pl.ds(r0 + base, 8), :]
+            lr8 = lut_ref[0, pl.ds(r0s + base, 8), :]
+            ur8 = u_ref[pl.ds(r0s + base, 8), :]
+            vr8 = v_ref[pl.ds(r0s + base, 8), :]
             for i in range(8):
                 lr = lax.slice_in_dim(lr8, i, i + 1, axis=0)
                 ur = lax.slice_in_dim(ur8, i, i + 1, axis=0)
@@ -766,22 +833,30 @@ def _slab_cr_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref, wh_ref,
                     + (vr - mz2) ** 2
                 better = j < m
                 m = jnp.minimum(m, j)
-                a = jnp.where(better, r0 + base + i, a)
+                a = jnp.where(better, r0s + base + i, a)
         return m, a
 
-    m, a = lax.fori_loop(0, n_rows // rows_per_iter, body, (
+    init_a = _BIG_IDX // n_phi_true // (2 if pack2 else 1)
+    m, a = lax.fori_loop(0, n_sweep // rows_per_iter, body, (
         jnp.full((block, pp), jnp.inf, dtype=jnp.float32),
-        jnp.full((block, pp), _BIG_IDX // n_phi_true, dtype=jnp.int32),
+        jnp.full((block, pp), init_a, dtype=jnp.int32),
     ))
     lane = lax.broadcasted_iota(jnp.int32, (block, pp), 1)
-    flat = a * n_phi_true + lane
+    if pack2:
+        hi = (lane >= lane_off).astype(jnp.int32)
+        row = a * 2 + hi
+        tlane = lane - lane_off * hi
+    else:
+        row = a
+        tlane = lane
+    flat = row * n_phi_true + tlane
     gmin = jnp.min(m, axis=1, keepdims=True)
     hit = m == gmin
     best = jnp.min(jnp.where(hit, flat, _BIG_IDX), axis=1, keepdims=True)
     # decode the winning flat index WITHOUT integer division: among the
     # lanes attaining it, re-select its (row, lane) components
     won = hit & (flat == best)
-    row_best = jnp.min(jnp.where(won, a, _BIG_IDX), axis=1)  # (block,)
+    row_best = jnp.min(jnp.where(won, row, _BIG_IDX), axis=1)  # (block,)
     lane_best = jnp.min(jnp.where(won, lane, _BIG_IDX), axis=1,
                         keepdims=True)
     phi_sol = jnp.sum(
@@ -834,7 +909,7 @@ def slab_refine_fused_pallas(lut_pad, u_pad, v_pad, w_half, phi_row,
                              cr_pad, cr_whalf, feats, sband, srow0,
                              n_phi_true, block=SLAB_BLOCK, n_rows=SLAB_ROWS,
                              has_cr=True, interpret=False, valid_mask=None,
-                             rows_per_iter=8):
+                             rows_per_iter=8, lane_off=None):
     """Fused direct-form slab refine + in-kernel decode + crosspol argmin.
 
     Same bucketing contract as :func:`slab_refine_pallas`; requires the
@@ -845,6 +920,9 @@ def slab_refine_fused_pallas(lut_pad, u_pad, v_pad, w_half, phi_row,
     w_half, phi_row : decode operands (see :func:`build_decode_arrays`).
     cr_pad, cr_whalf : crosspol operands (see build_crosspol_arrays);
         pass 1-element dummies with ``has_cr=False``.
+    lane_off : set when lut_pad/u_pad/v_pad/phi_row carry the pack-2
+        layout of :func:`build_direct_arrays_packed` (requires srow0
+        16-aligned and n_rows even; ``n_rows`` stays the TRUE row count).
 
     Returns (n_blocks, 4, block) f32 — rows (wspd_co m/s, phi_sol rad,
     wspd_cr m/s, 0). All-NaN pixels emit 0.0 everywhere (NaN-guarded by
@@ -853,8 +931,10 @@ def slab_refine_fused_pallas(lut_pad, u_pad, v_pad, w_half, phi_row,
     n_blocks = sband.shape[0]
     pp = lut_pad.shape[2]
     wpc = cr_pad.shape[2]
-    if n_rows % rows_per_iter or rows_per_iter % 8:
-        raise ValueError("rows_per_iter must divide n_rows, multiple of 8")
+    n_sweep = n_rows // 2 if lane_off is not None else n_rows
+    if n_sweep % rows_per_iter or rows_per_iter % 8:
+        raise ValueError("rows_per_iter must divide the sweep row count "
+                         "and be a multiple of 8")
     feats = feats.reshape(n_blocks, block, 8).transpose(0, 2, 1)
     if valid_mask is None:
         valid_mask = jnp.ones((n_blocks,), jnp.int32)
@@ -889,7 +969,7 @@ def slab_refine_fused_pallas(lut_pad, u_pad, v_pad, w_half, phi_row,
 
     kernel = partial(_slab_cr_kernel, block=block, pp=pp, wpc=wpc,
                      n_phi_true=n_phi_true, n_rows=n_rows, has_cr=has_cr,
-                     rows_per_iter=rows_per_iter)
+                     rows_per_iter=rows_per_iter, lane_off=lane_off)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -679,16 +679,16 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
             tables, float(dsig_co_val), splits=3)
         margin = SLAB_MARGIN
     slab_rows = WGROUP + 2 * margin
-    lut_pad, u_pad, v_pad = (jnp.asarray(a) for a in build_direct_arrays(
+    _direct_np = build_direct_arrays(
         np.asarray(tables.co_lut, np.float32),
         np.asarray(tables.co_u, np.float32),
-        np.asarray(tables.co_v, np.float32)))
+        np.asarray(tables.co_v, np.float32))
     n_inc = g4_dev.shape[0]
     n_wspd = np.asarray(tables.co_wspd).shape[0]
     n_phi = np.asarray(tables.co_phir).shape[0]
     n_wgroups = (n_wspd + WGROUP - 1) // WGROUP
     assert n_wgroups == n_groups_g4
-    wp_rows = lut_pad.shape[1]
+    wp_rows = _direct_np[0].shape[1]
     # per-table scalars enter the jit as a runtime operand, NOT trace-time
     # constants: the compiled executable is then shared across LUT tables
     # of the same grid shape (e.g. cmod5n vs cmod7 high-res), turning a
@@ -739,10 +739,27 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
     # scatter round collapses into ONE packed 4-wide row scatter
     fused_tail = (not tables.has_cr) or cr_axes_equal
     from xsarsea_tpu.ops.pallas_inversion import (
-        build_decode_arrays, slab_refine_fused_pallas)
+        build_decode_arrays, build_direct_arrays_packed,
+        slab_refine_fused_pallas)
+    # pack-2 lane layout (see build_direct_arrays_packed): two wspd rows
+    # per lane-row cuts the slab sweep's VPU ops ~25% at the production
+    # P=181. Needs the fused tail (the plain kernel returns flat indices
+    # whose decode assumes the plain layout) and 16-aligned slab starts
+    # (packed loads slice at srow0/2 on 8-sublane boundaries).
+    lane_off = None
+    if fused_tail and margin % 16 == 0 and WGROUP % 16 == 0:
+        _pk = build_direct_arrays_packed(
+            np.asarray(tables.co_lut, np.float32),
+            np.asarray(tables.co_u, np.float32),
+            np.asarray(tables.co_v, np.float32))
+        if _pk is not None:
+            _direct_np = _pk[:3]
+            wp_rows, lane_off = _pk[3], _pk[4]
+    lut_pad, u_pad, v_pad = (jnp.asarray(a) for a in _direct_np)
+    del _direct_np
     w_half_np, phi_row_np = build_decode_arrays(
         tables.co_wspd, tables.co_phir,
-        int(lut_pad.shape[1]), int(lut_pad.shape[2]))
+        wp_rows, int(lut_pad.shape[2]), lane_off=lane_off)
     w_half, phi_row = jnp.asarray(w_half_np), jnp.asarray(phi_row_np)
 
     def invert_flat(tables, g4, lut_pad, u_pad, v_pad, cr_pad, cr_whalf,
@@ -823,7 +840,7 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
                 lut_pad, u_pad, v_pad, w_half, phi_row, cr_pad, cr_whalf,
                 feats2, sband, srow0, n_phi, block=SLAB_BLOCK,
                 n_rows=slab_rows, has_cr=tables.has_cr, interpret=interpret,
-                valid_mask=vmask2.astype(jnp.int32),
+                valid_mask=vmask2.astype(jnp.int32), lane_off=lane_off,
             ).transpose(0, 2, 1).reshape(-1, 4)
             # pixel order via inverse-permutation GATHER, not scatter: on
             # TPU a packed (n, 4) row scatter measures 84 ns/px while the
