@@ -153,6 +153,38 @@ def main():
         eq = np.array_equal(o[mask], base[mask])
         print(f"rows_per_iter={rpi} bit-equal vs 8: {eq}", flush=True)
 
+    # --- pack-2 lane layout (the production default at margin 16):
+    # same sweep, half the iterations on 1.5x lanes; rpi=24 (full
+    # unroll of the packed loop) measured 56.3 -> 36.9 ns/px for the
+    # fused kernel and is the production setting
+    from xsarsea_tpu.ops.pallas_inversion import build_direct_arrays_packed
+    if margin % 16:
+        print("margin not 16-aligned — skipping pack-2 variants")
+        return
+    pk = build_direct_arrays_packed(
+        np.asarray(tables.co_lut, np.float32),
+        np.asarray(tables.co_u, np.float32),
+        np.asarray(tables.co_v, np.float32))
+    if pk is None:
+        print("pack-2 saves nothing at this phi grid — skipping")
+        return
+    lut_pk, u_pk, v_pk = (jnp.asarray(a) for a in pk[:3])
+    wp_pk, off = pk[3], pk[4]
+    # rebuild srow0 against the packed build's row count
+    srow0_pk = jnp.clip(srow0, 0, wp_pk - slab_rows)
+    for rpi in (8, 16, 24):
+        if (slab_rows // 2) % rpi:
+            continue
+        fn = jax.jit(lambda f, sb, sr, vm, _rpi=rpi: slab_refine_pallas(
+            lut_pk, u_pk, v_pk, f, sb, sr, n_phi,
+            block=SLAB_BLOCK, n_rows=slab_rows, valid_mask=vm,
+            rows_per_iter=_rpi, lane_off=off))
+        (out, _) = timed(f"slab pack2 rows_per_iter={rpi}", fn,
+                         feats2, sband, srow0_pk, vmask2)
+        mask = np.asarray(vmask2, bool)
+        eq = np.array_equal(np.asarray(out)[mask], base[mask])
+        print(f"pack2 rpi={rpi} bit-equal vs plain: {eq}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -68,10 +68,24 @@ def main():
         stride_p=max(1, round(inv._COARSE_DPHI / step_p)),
         splits=inv._COARSE_SPLITS)
     slab_rows = WGROUP + 2 * margin
-    lut_pad, u_pad, v_pad = (jnp.asarray(a) for a in build_direct_arrays(
-        np.asarray(tables.co_lut, np.float32),
-        np.asarray(tables.co_u, np.float32),
-        np.asarray(tables.co_v, np.float32)))
+    # pack-2 lane layout when it saves lanes, mirroring production
+    # (_make_pallas_invert_fn); falls back to the plain layout otherwise
+    from xsarsea_tpu.ops.pallas_inversion import build_direct_arrays_packed
+    lane_off = None
+    _direct = None
+    if margin % 16 == 0 and WGROUP % 16 == 0:
+        _pk = build_direct_arrays_packed(
+            np.asarray(tables.co_lut, np.float32),
+            np.asarray(tables.co_u, np.float32),
+            np.asarray(tables.co_v, np.float32))
+        if _pk is not None:
+            _direct, _wp_true, lane_off = _pk[:3], _pk[3], _pk[4]
+    if _direct is None:
+        _direct = build_direct_arrays(
+            np.asarray(tables.co_lut, np.float32),
+            np.asarray(tables.co_u, np.float32),
+            np.asarray(tables.co_v, np.float32))
+    lut_pad, u_pad, v_pad = (jnp.asarray(a) for a in _direct)
     cr_pad_np, cr_whalf_np = build_crosspol_arrays(
         np.asarray(tables.cr_lut, np.float32),
         np.asarray(tables.cr_wspd, np.float32))
@@ -80,7 +94,7 @@ def main():
     n_wspd = tables.co_wspd.shape[0]
     n_phi = tables.co_phir.shape[0]
     n_wgroups = (n_wspd + WGROUP - 1) // WGROUP
-    wp_rows = lut_pad.shape[1]
+    wp_rows = _wp_true if lane_off is not None else lut_pad.shape[1]
     inv_dsig = 1.0 / dsig_co
     co_inc = jnp.asarray(np.asarray(tables.co_inc, np.float64), jnp.float32)
     co_wspd_d = jnp.asarray(tables.co_wspd)
@@ -153,7 +167,8 @@ def main():
     # --- stage 2b: fused slab refine + in-kernel decode + crosspol
     # (the production kernel; see slab_refine_fused_pallas)
     w_half_d, phi_row_d = (jnp.asarray(a) for a in build_decode_arrays(
-        tables.co_wspd, tables.co_phir, wp_rows, int(lut_pad.shape[2])))
+        tables.co_wspd, tables.co_phir, wp_rows, int(lut_pad.shape[2]),
+        lane_off=lane_off))
 
     @jax.jit
     def s2_kernel(lut_pad, u_pad, v_pad, w_half, phi_row, cr_pad, cr_whalf,
@@ -174,7 +189,7 @@ def main():
             lut_pad, u_pad, v_pad, w_half, phi_row, cr_pad, cr_whalf,
             feats2, sband, srow0, n_phi, block=SLAB_BLOCK,
             n_rows=slab_rows, has_cr=True,
-            valid_mask=vmask2.astype(jnp.int32))
+            valid_mask=vmask2.astype(jnp.int32), lane_off=lane_off)
 
     (vals_r,), t_k2 = timed("2b fused slab+decode+crosspol",
                             lambda *a: (s2_kernel(*a),),

@@ -456,3 +456,16 @@ def test_pack2_slab_layout_bit_equal():
         n_rows=slab_rows, has_cr=True, interpret=True, valid_mask=vm,
         lane_off=off)
     np.testing.assert_array_equal(np.asarray(out_u), np.asarray(out_p))
+
+    # the plain (flat-index-returning) kernel must agree too
+    from xsarsea_tpu.ops.pallas_inversion import slab_refine_pallas
+    f4 = jnp.asarray(feats[:, :4])
+    flat_u = slab_refine_pallas(
+        *(jnp.asarray(x) for x in up), f4, jnp.asarray(sband),
+        jnp.asarray(srow0), P, n_rows=slab_rows, interpret=True,
+        valid_mask=vm)
+    flat_p = slab_refine_pallas(
+        *(jnp.asarray(x) for x in (lut_pk, u_pk, v_pk)), f4,
+        jnp.asarray(sband), jnp.asarray(srow0), P, n_rows=slab_rows,
+        interpret=True, valid_mask=vm, lane_off=off)
+    np.testing.assert_array_equal(np.asarray(flat_u), np.asarray(flat_p))

@@ -592,14 +592,16 @@ def crosspol_argmin_pallas(lut_pad, w_half, feats, band_of_block,
 
 def _slab_kernel(sband_ref, srow0_ref, vmask_ref, feats_ref, lut_ref, u_ref,
                  v_ref, out_ref, *, block, pp, n_phi_true, n_rows,
-                 rows_per_iter=8):
+                 rows_per_iter=8, lane_off=None):
     """Per block: direct-form cost over a (n_rows, Pp) LUT slab.
 
     Single sweep over rows keeps, per (pixel, phi-lane), the running min
     and the row index of its FIRST attainment (strict ``<`` update). The
     final cross-lane min of those per-lane first-hit flat indices (among
     lanes attaining the global min) reproduces numpy's first-minimum tie
-    rule over (wspd-major, phi-minor) order.
+    rule over (wspd-major, phi-minor) order. With ``lane_off`` the
+    operands carry the pack-2 layout (see build_direct_arrays_packed and
+    _slab_cr_block's pack2 notes — bit-equal costs, same tie rule).
     """
     b = pl.program_id(0)
 
@@ -611,15 +613,23 @@ def _slab_kernel(sband_ref, srow0_ref, vmask_ref, feats_ref, lut_ref, u_ref,
     def _run():
         _slab_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
                     out_ref, block=block, pp=pp, n_phi_true=n_phi_true,
-                    n_rows=n_rows, rows_per_iter=rows_per_iter)
+                    n_rows=n_rows, rows_per_iter=rows_per_iter,
+                    lane_off=lane_off)
 
 
 def _slab_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
                 out_ref, *, block, pp, n_phi_true, n_rows,
-                rows_per_iter=8):
+                rows_per_iter=8, lane_off=None):
+    pack2 = lane_off is not None
     # srow0 is always 8-aligned: WGROUP and the margins are multiples of 8
-    # and both clip bounds are too (build_direct_arrays pads Wp to 8)
-    r0 = pl.multiple_of(srow0_ref[b], 8)
+    # and both clip bounds are too (build_direct_arrays pads Wp to 8);
+    # pack2 additionally requires 16-aligned srow0 (the caller gates)
+    if pack2:
+        r0s = pl.multiple_of(srow0_ref[b] // 2, 8)
+        n_sweep = n_rows // 2
+    else:
+        r0s = pl.multiple_of(srow0_ref[b], 8)
+        n_sweep = n_rows
 
     # pixel features, lane vectors -> columns broadcast over phi lanes.
     # feats rows: (s0, ma/2, mz/2, 1/dsig) — u/v operands are pre-halved
@@ -644,9 +654,9 @@ def _slab_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
         m, a = carry
         for sub in range(rows_per_iter // 8):
             base = k * rows_per_iter + sub * 8
-            lr8 = lut_ref[0, pl.ds(r0 + base, 8), :]  # (8, pp)
-            ur8 = u_ref[pl.ds(r0 + base, 8), :]
-            vr8 = v_ref[pl.ds(r0 + base, 8), :]
+            lr8 = lut_ref[0, pl.ds(r0s + base, 8), :]  # (8, pp)
+            ur8 = u_ref[pl.ds(r0s + base, 8), :]
+            vr8 = v_ref[pl.ds(r0s + base, 8), :]
             for i in range(8):
                 lr = lax.slice_in_dim(lr8, i, i + 1, axis=0)  # (1, pp)
                 ur = lax.slice_in_dim(ur8, i, i + 1, axis=0)
@@ -655,15 +665,24 @@ def _slab_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
                     + (vr - mz2) ** 2
                 better = j < m  # strict: keeps the first (lowest-row) min
                 m = jnp.minimum(m, j)
-                a = jnp.where(better, r0 + base + i, a)
+                a = jnp.where(better, r0s + base + i, a)
         return m, a
 
-    m, a = lax.fori_loop(0, n_rows // rows_per_iter, body, (
+    # even base row -> the no-hit sentinel flat (init row, lane 0)
+    # decodes identically in both lane layouts (pack2 halves it)
+    init_a = (_BIG_IDX // n_phi_true) & ~1
+    if pack2:
+        init_a //= 2
+    m, a = lax.fori_loop(0, n_sweep // rows_per_iter, body, (
         jnp.full((block, pp), jnp.inf, dtype=jnp.float32),
-        jnp.full((block, pp), _BIG_IDX // n_phi_true, dtype=jnp.int32),
+        jnp.full((block, pp), init_a, dtype=jnp.int32),
     ))
     lane = lax.broadcasted_iota(jnp.int32, (block, pp), 1)
-    flat = a * n_phi_true + lane  # row-major flat index, BIG for no-hit
+    if pack2:
+        hi = (lane >= lane_off).astype(jnp.int32)
+        flat = (a * 2 + hi) * n_phi_true + (lane - lane_off * hi)
+    else:
+        flat = a * n_phi_true + lane  # row-major flat index, BIG for no-hit
     gmin = jnp.min(m, axis=1, keepdims=True)  # (block, 1)
     best = jnp.min(jnp.where(m == gmin, flat, _BIG_IDX), axis=1)
     out_ref[...] = best.reshape(1, 1, block)
@@ -671,7 +690,8 @@ def _slab_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
 
 def slab_refine_pallas(lut_pad, u_pad, v_pad, feats, sband, srow0,
                        n_phi_true, block=SLAB_BLOCK, n_rows=SLAB_ROWS,
-                       interpret=False, valid_mask=None, rows_per_iter=8):
+                       interpret=False, valid_mask=None, rows_per_iter=8,
+                       lane_off=None):
     """Direct-form argmin over per-block LUT slabs.
 
     Parameters
@@ -688,14 +708,20 @@ def slab_refine_pallas(lut_pad, u_pad, v_pad, feats, sband, srow0,
     valid_mask : optional (n_blocks,) i32 — 0 marks all-padding blocks
         whose compute is skipped entirely (their output is undefined and
         must be discarded by the caller).
+    lane_off : set when lut_pad/u_pad/v_pad carry the pack-2 layout of
+        :func:`build_direct_arrays_packed` (requires srow0 16-aligned
+        and n_rows even; ``n_rows`` stays the TRUE row count). The
+        returned flat indices are identical to the plain layout's.
 
     Returns (n_blocks, block) i32 flat indices into the true (W, P) grid
     (``_BIG_IDX`` for all-NaN pixels — clip before using as an index).
     """
     n_blocks = sband.shape[0]
     pp = lut_pad.shape[2]
-    if n_rows % rows_per_iter or rows_per_iter % 8:
-        raise ValueError("rows_per_iter must divide n_rows, multiple of 8")
+    n_sweep = n_rows // 2 if lane_off is not None else n_rows
+    if n_sweep % rows_per_iter or rows_per_iter % 8:
+        raise ValueError("rows_per_iter must divide the sweep row count "
+                         "and be a multiple of 8")
     feats = feats.reshape(n_blocks, block, 4).transpose(0, 2, 1)
     if valid_mask is None:
         valid_mask = jnp.ones((n_blocks,), jnp.int32)
@@ -720,7 +746,7 @@ def slab_refine_pallas(lut_pad, u_pad, v_pad, feats, sband, srow0,
 
     kernel = partial(_slab_kernel, block=block, pp=pp,
                      n_phi_true=n_phi_true, n_rows=n_rows,
-                     rows_per_iter=rows_per_iter)
+                     rows_per_iter=rows_per_iter, lane_off=lane_off)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -836,7 +862,11 @@ def _slab_cr_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref, wh_ref,
                 a = jnp.where(better, r0s + base + i, a)
         return m, a
 
-    init_a = _BIG_IDX // n_phi_true // (2 if pack2 else 1)
+    # even base row -> the no-hit sentinel flat (init row, lane 0)
+    # decodes identically in both lane layouts (pack2 halves it)
+    init_a = (_BIG_IDX // n_phi_true) & ~1
+    if pack2:
+        init_a //= 2
     m, a = lax.fori_loop(0, n_sweep // rows_per_iter, body, (
         jnp.full((block, pp), jnp.inf, dtype=jnp.float32),
         jnp.full((block, pp), init_a, dtype=jnp.int32),

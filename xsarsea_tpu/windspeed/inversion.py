@@ -743,11 +743,11 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         slab_refine_fused_pallas)
     # pack-2 lane layout (see build_direct_arrays_packed): two wspd rows
     # per lane-row cuts the slab sweep's VPU ops ~25% at the production
-    # P=181. Needs the fused tail (the plain kernel returns flat indices
-    # whose decode assumes the plain layout) and 16-aligned slab starts
-    # (packed loads slice at srow0/2 on 8-sublane boundaries).
+    # P=181. Both the fused and the plain slab kernels support it; it
+    # needs 16-aligned slab starts (packed loads slice at srow0/2 on
+    # 8-sublane boundaries), hence the margin gate.
     lane_off = None
-    if fused_tail and margin % 16 == 0 and WGROUP % 16 == 0:
+    if margin % 16 == 0 and WGROUP % 16 == 0:
         _pk = build_direct_arrays_packed(
             np.asarray(tables.co_lut, np.float32),
             np.asarray(tables.co_u, np.float32),
@@ -757,6 +757,15 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
             wp_rows, lane_off = _pk[3], _pk[4]
     lut_pad, u_pad, v_pad = (jnp.asarray(a) for a in _direct_np)
     del _direct_np
+    # packed sweep: FULL unroll of the row loop when it fits (24 packed
+    # rows at margin 16 — measured 56.3 -> 36.9 ns/px for the fused
+    # kernel at 8.4 Mpx, bit-equal; the loop-carried (min, argmin)
+    # dependency chains schedule much better fully unrolled). Unpacked
+    # paths keep the microbenched rpi=8 default.
+    slab_rpi = 8
+    if lane_off is not None and (slab_rows // 2) % 8 == 0 \
+            and slab_rows // 2 <= 24:
+        slab_rpi = slab_rows // 2
     w_half_np, phi_row_np = build_decode_arrays(
         tables.co_wspd, tables.co_phir,
         wp_rows, int(lut_pad.shape[2]), lane_off=lane_off)
@@ -841,6 +850,7 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
                 feats2, sband, srow0, n_phi, block=SLAB_BLOCK,
                 n_rows=slab_rows, has_cr=tables.has_cr, interpret=interpret,
                 valid_mask=vmask2.astype(jnp.int32), lane_off=lane_off,
+                rows_per_iter=slab_rpi,
             ).transpose(0, 2, 1).reshape(-1, 4)
             # pixel order via inverse-permutation GATHER, not scatter: on
             # TPU a packed (n, 4) row scatter measures 84 ns/px while the
@@ -881,7 +891,8 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         flat_r = slab_refine_pallas(
             lut_pad, u_pad, v_pad, feats2, sband, srow0, n_phi,
             block=SLAB_BLOCK, n_rows=slab_rows, interpret=interpret,
-            valid_mask=vmask2.astype(jnp.int32),
+            valid_mask=vmask2.astype(jnp.int32), lane_off=lane_off,
+            rows_per_iter=slab_rpi,
         ).reshape(-1)
 
         flat = jnp.zeros((n,), jnp.int32).at[
