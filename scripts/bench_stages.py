@@ -86,6 +86,12 @@ def main():
             np.asarray(tables.co_u, np.float32),
             np.asarray(tables.co_v, np.float32))
     lut_pad, u_pad, v_pad = (jnp.asarray(a) for a in _direct)
+    # production full-unroll setting (_make_pallas_invert_fn): packed
+    # sweeps of <= 24 rows unroll fully, others keep the rpi=8 default
+    slab_rpi = 8
+    if lane_off is not None and (slab_rows // 2) % 8 == 0 \
+            and slab_rows // 2 <= 24:
+        slab_rpi = slab_rows // 2
     cr_pad_np, cr_whalf_np = build_crosspol_arrays(
         np.asarray(tables.cr_lut, np.float32),
         np.asarray(tables.cr_wspd, np.float32))
@@ -189,7 +195,8 @@ def main():
             lut_pad, u_pad, v_pad, w_half, phi_row, cr_pad, cr_whalf,
             feats2, sband, srow0, n_phi, block=SLAB_BLOCK,
             n_rows=slab_rows, has_cr=True,
-            valid_mask=vmask2.astype(jnp.int32), lane_off=lane_off)
+            valid_mask=vmask2.astype(jnp.int32), lane_off=lane_off,
+            rows_per_iter=slab_rpi)
 
     (vals_r,), t_k2 = timed("2b fused slab+decode+crosspol",
                             lambda *a: (s2_kernel(*a),),

@@ -893,21 +893,22 @@ def _slab_cr_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref, wh_ref,
         jnp.where(lane == lane_best, phi_ref[0, :].reshape(1, pp), 0.0),
         axis=1)
 
-    # wspd of the winning row: aligned (8,128) loads + static peel, select
-    # by row index (all-NaN pixels never match -> 0.0, NaN-guarded later)
-    def wbody(k, wsel):
-        for sub in range(rows_per_iter // 8):
-            base = k * rows_per_iter + sub * 8
-            w8 = wh_ref[pl.ds(r0 + base, 8), :]  # (8, 128)
-            for i in range(8):
-                wr = lax.slice(w8, (i, 0), (i + 1, 1))  # (1, 1)
-                cond = (row_best == (r0 + base + i)).reshape(block, 1)
-                wsel = jnp.where(cond, wr, wsel)
-        return wsel
-
-    w_half_sel = lax.fori_loop(
-        0, n_rows // rows_per_iter, wbody,
-        jnp.zeros((block, 1), jnp.float32)).reshape(block)
+    # wspd of the winning row: one-hot row select as a tiny MXU matvec —
+    # (block, n_rows) {0,1} against the (n_rows, 1) w_half slab slice.
+    # Bit-exact: the bf16x3 f32 matmul splits w exactly into three
+    # disjoint-mantissa bf16 terms (the same exact-split property the
+    # coarse pass's expanded-form operand relies on), the one-hot
+    # entries are exact in bf16, and the accumulation sums the three
+    # partials of ONE w plus zeros — no rounding anywhere. All-NaN
+    # pixels carry a huge sentinel row -> all-zero one-hot -> 0.0
+    # (NaN-guarded later), identical to the old per-row select loop.
+    w48 = wh_ref[pl.ds(r0, n_rows), 0:1]  # (n_rows, 1)
+    rows_iota = r0 + lax.broadcasted_iota(jnp.int32, (block, n_rows), 1)
+    onehot = (row_best.reshape(block, 1) == rows_iota).astype(jnp.float32)
+    w_half_sel = lax.dot_general(
+        onehot, w48, (((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32).reshape(block)
     wspd_co = w_half_sel + w_half_sel  # exact: halving is exact
 
     if has_cr:
