@@ -45,7 +45,7 @@ from xsarsea_tpu.models import get_model
 from xsarsea_tpu.windspeed import inversion as inv
 from xsarsea_tpu.ops.pallas_inversion import (
     DEFAULT_BLOCK, SLAB_BLOCK, WGROUP, _BIG_IDX,
-    bucket_by_band, build_direct_arrays_packed,
+    _slab_sweep, bucket_by_band, build_direct_arrays_packed,
     copol_group_argmin_pallas, nearest_index_sorted,
 )
 
@@ -75,6 +75,19 @@ def _form_kernel(sband_ref, srow0_ref, vmask_ref, feats_ref, lut_ref,
 
     @pl.when(vmask_ref[b] > 0)
     def _run():
+        if form == "direct":
+            # the shipped baseline IS the shared production sweep —
+            # importing it guarantees the flip accounting below compares
+            # the experiment forms against the exact shipped fp sequence
+            m, _row, _lane, flat = _slab_sweep(
+                srow0_ref[b], feats_ref, lut_ref, u_ref, v_ref,
+                block=block, pp=pp, n_phi_true=n_phi_true, n_rows=n_rows,
+                rows_per_iter=rows_per_iter, lane_off=lane_off)
+            gmin = jnp.min(m, axis=1, keepdims=True)
+            best = jnp.min(jnp.where(m == gmin, flat, _BIG_IDX), axis=1)
+            out_ref[...] = best.reshape(1, 1, block)
+            return
+
         r0s = pl.multiple_of(srow0_ref[b] // 2, 8)
         n_sweep = n_rows // 2
 
@@ -85,7 +98,6 @@ def _form_kernel(sband_ref, srow0_ref, vmask_ref, feats_ref, lut_ref,
         s0 = col(0)
         ma2 = col(1)
         mz2 = col(2)
-        inv_dsig = col(3)
 
         def body(k, carry):
             m, a = carry
@@ -100,10 +112,7 @@ def _form_kernel(sband_ref, srow0_ref, vmask_ref, feats_ref, lut_ref,
                     lr = lax.slice_in_dim(lr8, i, i + 1, axis=0)
                     ur = lax.slice_in_dim(ur8, i, i + 1, axis=0)
                     vr = lax.slice_in_dim(vr8, i, i + 1, axis=0)
-                    if form == "direct":
-                        j = ((lr - s0) * inv_dsig) ** 2 \
-                            + (ur - ma2) ** 2 + (vr - mz2) ** 2
-                    elif form == "prescaled":
+                    if form == "prescaled":
                         j = (lr - s0) ** 2 + (ur - ma2) ** 2 \
                             + (vr - mz2) ** 2
                     else:  # expanded_uv

@@ -457,6 +457,36 @@ def test_pack2_slab_layout_bit_equal():
         lane_off=off)
     np.testing.assert_array_equal(np.asarray(out_u), np.asarray(out_p))
 
+    # the PRODUCTION unroll (rows_per_iter = full packed sweep, 24 at
+    # margin 16 — see inversion.py slab_rpi) must be bit-equal to the
+    # default rpi=8: identical per-row fp op sequence, only the
+    # fori_loop trip count differs. Covers the config the TPU path
+    # actually runs (review finding: it was never CI-tested).
+    rpi_prod = slab_rows // 2
+    assert rpi_prod % 8 == 0 and rpi_prod <= 24
+    out_p24 = slab_refine_fused_pallas(
+        *(jnp.asarray(x) for x in (lut_pk, u_pk, v_pk, wh_p, pr_p,
+                                   cr_pad, cr_wh)), *args,
+        n_rows=slab_rows, has_cr=True, interpret=True, valid_mask=vm,
+        lane_off=off, rows_per_iter=rpi_prod)
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_p24))
+
+    # copol-only production shape: the dummy (1,1,128) crosspol LUT with
+    # real band ids > 0 must not index past the dummy's single block
+    # (review finding: OOB block fetch when has_cr=False)
+    assert int(np.asarray(sband).max()) > 0
+    dum_cr = jnp.zeros((1, 1, 128), jnp.float32)
+    dum_wh = jnp.zeros((1, 128), jnp.float32)
+    out_co = slab_refine_fused_pallas(
+        *(jnp.asarray(x) for x in (lut_pk, u_pk, v_pk, wh_p, pr_p)),
+        dum_cr, dum_wh, *args, n_rows=slab_rows, has_cr=False,
+        interpret=True, valid_mask=vm, lane_off=off,
+        rows_per_iter=rpi_prod)
+    np.testing.assert_array_equal(np.asarray(out_co)[:, 0],
+                                  np.asarray(out_p24)[:, 0])
+    np.testing.assert_array_equal(np.asarray(out_co)[:, 1],
+                                  np.asarray(out_p24)[:, 1])
+
     # the plain (flat-index-returning) kernel must agree too
     from xsarsea_tpu.ops.pallas_inversion import slab_refine_pallas
     f4 = jnp.asarray(feats[:, :4])

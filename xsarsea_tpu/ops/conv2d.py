@@ -159,7 +159,15 @@ def conv2d_same(img, kernel, boundary="symm", fillvalue=0.0, correlate=False):
     kh, kw = kernel.shape
     factors = _separate_kernel(kernel.tobytes(), kernel.shape)
     mode = _BOUNDARY_TO_PAD[boundary]
-    if factors is not None and not (mode == "constant" and fillvalue != 0.0):
+    img = jnp.asarray(img)
+    # the rank-1 factors of an integer-valued kernel can carry
+    # fractional taps (e.g. [[1,2],[2,4]] -> row [1, 0.5]) that an
+    # integer image dtype would truncate to 0 — keep integer images on
+    # the lax.conv path, which casts the full kernel losslessly
+    separable = (factors is not None
+                 and not (mode == "constant" and fillvalue != 0.0)
+                 and jnp.issubdtype(img.dtype, jnp.inexact))
+    if separable:
         col, row = factors
 
         def run(x):
@@ -176,7 +184,6 @@ def conv2d_same(img, kernel, boundary="symm", fillvalue=0.0, correlate=False):
             xp = jnp.pad(x, ((pt, pb), (pl_, pr)), mode=mode, **kwargs)
             return _conv_valid(xp, kernel)
 
-    img = jnp.asarray(img)
     if jnp.issubdtype(img.dtype, jnp.complexfloating):
         return run(img.real) + 1j * run(img.imag)
     return run(img)

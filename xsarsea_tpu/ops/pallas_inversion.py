@@ -617,18 +617,38 @@ def _slab_kernel(sband_ref, srow0_ref, vmask_ref, feats_ref, lut_ref, u_ref,
                     lane_off=lane_off)
 
 
-def _slab_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
-                out_ref, *, block, pp, n_phi_true, n_rows,
-                rows_per_iter=8, lane_off=None):
+def _slab_sweep(srow0_b, feats_ref, lut_ref, u_ref, v_ref, *, block, pp,
+                n_phi_true, n_rows, rows_per_iter=8, lane_off=None):
+    """Direct-form cost sweep over a (n_rows, Pp) LUT slab — the SINGLE
+    source of the per-row fp op sequence. Both ``_slab_block`` and
+    ``_slab_cr_block`` (and the bench scripts' "direct" baseline) call
+    this, so their "bit-equal costs" contract is structural rather than
+    kept in sync by hand.
+
+    Returns ``(m, row, lane, flat)`` per (pixel, lane): the running cost
+    minimum, the TRUE wspd-row index of its first attainment, the lane
+    iota, and the (wspd-major, phi-minor) flat index (``_BIG_IDX``-scaled
+    sentinel for no-hit / all-NaN pixels).
+
+    srow0 is always 8-aligned: WGROUP and the margins are multiples of 8
+    and both clip bounds are too (build_direct_arrays pads Wp to 8);
+    pack2 (``lane_off`` set) additionally requires 16-aligned srow0 (the
+    caller gates) and the build_direct_arrays_packed layout — the sweep
+    then iterates n_rows//2 PACKED rows of pp=L2 lanes, ``a`` holds
+    packed-row indices, and the (row, phi-lane) decode happens once
+    after the sweep. The per-element fp op sequence is identical to the
+    plain layout, so costs are bit-equal and the first-minimum tie rule
+    is reproduced exactly on the true (wspd-major, phi-minor) flat order
+    (each true (row, lane) pair appears on exactly one packed lane; two
+    packed lanes can never decode to the same flat index because their
+    rows differ in parity while |lane delta| < n_phi_true).
+    """
     pack2 = lane_off is not None
-    # srow0 is always 8-aligned: WGROUP and the margins are multiples of 8
-    # and both clip bounds are too (build_direct_arrays pads Wp to 8);
-    # pack2 additionally requires 16-aligned srow0 (the caller gates)
     if pack2:
-        r0s = pl.multiple_of(srow0_ref[b] // 2, 8)
+        r0s = pl.multiple_of(srow0_b // 2, 8)
         n_sweep = n_rows // 2
     else:
-        r0s = pl.multiple_of(srow0_ref[b], 8)
+        r0s = pl.multiple_of(srow0_b, 8)
         n_sweep = n_rows
 
     # pixel features, lane vectors -> columns broadcast over phi lanes.
@@ -680,9 +700,22 @@ def _slab_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
     lane = lax.broadcasted_iota(jnp.int32, (block, pp), 1)
     if pack2:
         hi = (lane >= lane_off).astype(jnp.int32)
-        flat = (a * 2 + hi) * n_phi_true + (lane - lane_off * hi)
+        row = a * 2 + hi
+        tlane = lane - lane_off * hi
     else:
-        flat = a * n_phi_true + lane  # row-major flat index, BIG for no-hit
+        row = a
+        tlane = lane
+    flat = row * n_phi_true + tlane  # row-major flat index, BIG for no-hit
+    return m, row, lane, flat
+
+
+def _slab_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref,
+                out_ref, *, block, pp, n_phi_true, n_rows,
+                rows_per_iter=8, lane_off=None):
+    m, _row, _lane, flat = _slab_sweep(
+        srow0_ref[b], feats_ref, lut_ref, u_ref, v_ref, block=block, pp=pp,
+        n_phi_true=n_phi_true, n_rows=n_rows, rows_per_iter=rows_per_iter,
+        lane_off=lane_off)
     gmin = jnp.min(m, axis=1, keepdims=True)  # (block, 1)
     best = jnp.min(jnp.where(m == gmin, flat, _BIG_IDX), axis=1)
     out_ref[...] = best.reshape(1, 1, block)
@@ -815,71 +848,18 @@ def _slab_cr_block(b, srow0_ref, feats_ref, lut_ref, u_ref, v_ref, wh_ref,
                    phi_ref, crlut_ref, crwh_ref, out_ref, *, block, pp, wpc,
                    n_phi_true, n_rows, has_cr, rows_per_iter=8,
                    lane_off=None):
-    # pack2 (lane_off set): lut/u/v carry the build_direct_arrays_packed
-    # layout — the sweep iterates n_rows//2 PACKED rows of pp=L2 lanes;
-    # ``a`` then holds packed-row indices and the (row, phi-lane) decode
-    # happens once after the sweep. The per-element fp op sequence is
-    # identical to the plain layout, so costs are bit-equal and the
-    # first-minimum tie rule is reproduced exactly on the true
-    # (wspd-major, phi-minor) flat order (each true (row, lane) pair
-    # appears on exactly one packed lane; two packed lanes can never
-    # decode to the same flat index because their rows differ in parity
-    # while |lane delta| < n_phi_true).
-    pack2 = lane_off is not None
+    # --- direct-form slab sweep: shared with _slab_block (see
+    # _slab_sweep for the pack-2 layout + bit-equality argument)
     r0 = pl.multiple_of(srow0_ref[b], 8)  # true-row start (wspd decode)
-    if pack2:
-        r0s = pl.multiple_of(srow0_ref[b] // 2, 8)
-        n_sweep = n_rows // 2
-    else:
-        r0s = r0
-        n_sweep = n_rows
+    m, row, lane, flat = _slab_sweep(
+        srow0_ref[b], feats_ref, lut_ref, u_ref, v_ref, block=block, pp=pp,
+        n_phi_true=n_phi_true, n_rows=n_rows, rows_per_iter=rows_per_iter,
+        lane_off=lane_off)
 
     def col(i, width):
         return jnp.broadcast_to(feats_ref[0, i, :].reshape(block, 1),
                                 (block, width))
 
-    s0 = col(0, pp)
-    ma2 = col(1, pp)
-    mz2 = col(2, pp)
-    inv_dsig = col(3, pp)
-
-    # --- direct-form slab sweep: IDENTICAL fp op sequence to _slab_block
-    def body(k, carry):
-        m, a = carry
-        for sub in range(rows_per_iter // 8):
-            base = k * rows_per_iter + sub * 8
-            lr8 = lut_ref[0, pl.ds(r0s + base, 8), :]
-            ur8 = u_ref[pl.ds(r0s + base, 8), :]
-            vr8 = v_ref[pl.ds(r0s + base, 8), :]
-            for i in range(8):
-                lr = lax.slice_in_dim(lr8, i, i + 1, axis=0)
-                ur = lax.slice_in_dim(ur8, i, i + 1, axis=0)
-                vr = lax.slice_in_dim(vr8, i, i + 1, axis=0)
-                j = ((lr - s0) * inv_dsig) ** 2 + (ur - ma2) ** 2 \
-                    + (vr - mz2) ** 2
-                better = j < m
-                m = jnp.minimum(m, j)
-                a = jnp.where(better, r0s + base + i, a)
-        return m, a
-
-    # even base row -> the no-hit sentinel flat (init row, lane 0)
-    # decodes identically in both lane layouts (pack2 halves it)
-    init_a = (_BIG_IDX // n_phi_true) & ~1
-    if pack2:
-        init_a //= 2
-    m, a = lax.fori_loop(0, n_sweep // rows_per_iter, body, (
-        jnp.full((block, pp), jnp.inf, dtype=jnp.float32),
-        jnp.full((block, pp), init_a, dtype=jnp.int32),
-    ))
-    lane = lax.broadcasted_iota(jnp.int32, (block, pp), 1)
-    if pack2:
-        hi = (lane >= lane_off).astype(jnp.int32)
-        row = a * 2 + hi
-        tlane = lane - lane_off * hi
-    else:
-        row = a
-        tlane = lane
-    flat = row * n_phi_true + tlane
     gmin = jnp.min(m, axis=1, keepdims=True)
     hit = m == gmin
     best = jnp.min(jnp.where(hit, flat, _BIG_IDX), axis=1, keepdims=True)
@@ -988,7 +968,12 @@ def slab_refine_fused_pallas(lut_pad, u_pad, v_pad, w_half, phi_row,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, pp), lambda b, sb, sr, vm: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, wpc), lambda b, sb, sr, vm: (sb[b], 0, 0),
+            # has_cr=False passes a (1, 1, 128) dummy crosspol LUT; pin
+            # its block index to 0 (sb[b] carries real band ids that
+            # would address past the single dummy block — OOB DMA)
+            pl.BlockSpec((1, 1, wpc),
+                         (lambda b, sb, sr, vm: (sb[b], 0, 0)) if has_cr
+                         else (lambda b, sb, sr, vm: (0, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, wpc), lambda b, sb, sr, vm: (0, 0),
                          memory_space=pltpu.VMEM),
