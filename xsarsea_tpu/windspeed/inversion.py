@@ -1107,10 +1107,14 @@ class _LazySource:
     scalar instead of a broadcast full-scene stream. With ``device_db``
     set (the f32 pallas path), sigma0 ships LINEAR and the
     ``10*log10(x + 1e-15)`` conversion runs inside the jitted pipeline:
-    same bytes but the host log10 (the bulk of host prep) disappears;
-    results can differ from the host-f64-prep path at f32-ulp scale in
-    dB, which the default mode's coarse+refine search absorbs (the f64
-    exact path always keeps host prep, preserving reference parity).
+    same bytes but the host log10 (the bulk of host prep) disappears.
+    The input dB then differs from host-f64 prep at f32-ulp scale; on
+    the rare pixels whose cost surface has two near-equal minima, the
+    argmin can land on the other one — measured max ~0.5 m/s (a few
+    wspd grid steps) on a handful of pixels per 262k random draws, the
+    two winds being near-equal-cost solutions. The f64 exact path
+    always keeps host prep, preserving reference parity; pass
+    ``device_db=False`` for strict cross-mode reproducibility.
     Dual-pol + scalar dsig: 24 -> 20 B/px; mono-pol copol: 24 -> 16.
     """
 
@@ -1396,6 +1400,7 @@ def invert_from_model(
     dtype=None,
     mode="auto",
     piece_size=None,
+    device_db=None,
     **kwargs,
 ):
     """Invert sigma0 into wind speed (and direction) using GMF/LUT model(s).
@@ -1420,6 +1425,14 @@ def invert_from_model(
     runs per piece, so host memory stays O(piece) + O(outputs) no matter
     the scene size. This replaces the reference's dask chunk execution
     (windspeed.py:345-367).
+
+    ``device_db``: where the dB conversion of linear sigma0 runs. The
+    default (None = auto) ships linear f32 and converts on device in
+    pallas mode — fastest wire format, but on rare near-cost-tie pixels
+    the retrieved wind can differ from ``mode="exact"`` by a few wspd
+    grid steps (see ``_LazySource``). Pass ``False`` to keep the
+    reference's host f64 dB prep in every mode: ``mode="pallas"`` then
+    returns bit-identical winds to ``mode="exact"``.
     """
     if dtype is None:
         dtype = jnp.float64 if (jax.config.jax_enable_x64 and
@@ -1476,6 +1489,7 @@ def invert_from_model(
         shape, np_dtype, raw_inc,
         s0_co=raw_s0_co, s0_cr=raw_s0_cr,
         dsig_cr=_raw_data(dsig_cr), anc=_raw_data(ancillary_wind),
+        device_db=device_db,
     )
     wind_co, wind_dual = _invert_source(
         tables, source, dsig_co=dsig_co, mode=mode, piece_size=piece_size,
