@@ -389,6 +389,28 @@ def main():
         e2e_inproc_mpx_s = max(e2e_inproc_mpx_s, n / (time.time() - t0) / 1e6)
         del co_d, dual_d
 
+    # vector-incidence wire (the realistic SAR scene shape: incidence
+    # varies along range only, so it ships as one (nx,) vector instead
+    # of a full O(n) stream — 20 -> 16 B/px, reconstructed on device
+    # bit-identically to a host broadcast)
+    nxv = 4096
+    nyv = n // nxv
+    npv = nyv * nxv
+    e2e_vec_src = _LazySource(
+        (nyv, nxv), np.dtype(np.float32),
+        np.linspace(18.0, 47.0, nxv).astype(np.float32),
+        s0_co=s0_co_lin32[:npv].reshape(nyv, nxv),
+        s0_cr=s0_cr_lin32[:npv].reshape(nyv, nxv),
+        dsig_cr=0.1, anc=anc[:npv].reshape(nyv, nxv))
+    e2e_vec_mpx_s = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        co_d, dual_d = _invert_source(tables, e2e_vec_src, mode=mode,
+                                      device_output=True)
+        drain((co_d, dual_d))
+        e2e_vec_mpx_s = max(e2e_vec_mpx_s, npv / (time.time() - t0) / 1e6)
+        del co_d, dual_d
+
     # ... and once from a FRESH process (see _e2e_child): the honest
     # production-shaped from-host number, free of this process's sticky
     # tunnel-transfer state. Headline e2e = best of the two.
@@ -518,6 +540,7 @@ def main():
         "gradients_class_mpx_s": round(gradients_class_mpx_s, 1),
         "e2e_from_host_mpx_s": round(e2e_mpx_s, 2),
         "e2e_from_host_inproc_mpx_s": round(e2e_inproc_mpx_s, 2),
+        "e2e_from_host_vec_inc_mpx_s": round(e2e_vec_mpx_s, 2),
         **({"e2e_from_host_fresh_mpx_s": round(e2e_fresh_mpx_s, 2)}
            if e2e_fresh_mpx_s is not None else {}),
         "host_prep_mpx_s": round(host_prep_mpx_s, 1),

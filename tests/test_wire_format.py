@@ -52,7 +52,7 @@ def test_stream_skip_bit_identical_to_full_streams():
     # mono crosspol: no copol stream, no ancillary, scalar dsig
     src = _LazySource((inc.shape[0],), np.dtype(np.float64), inc,
                       s0_cr=s0_cr, dsig_cr=0.1, device_db=False)
-    assert src.spec == (False, False, True, True, False)
+    assert src.spec == (False, False, True, True, False, "full")
     co_s, dual_s = _invert_source(tables, src, mode="exact")
 
     nanv = np.full_like(inc, np.nan)
@@ -122,6 +122,95 @@ def test_exact_mode_keeps_host_prep():
     # dB (host-converted) on the wire
     piece = src.piece(0, 8)
     np.testing.assert_array_equal(piece[1], _db(s0_co[:8]))
+
+
+def test_vector_incidence_bit_identical_and_small_on_wire():
+    """Broadcastable inc (sample/line vector, scalar) ships the small
+    vector + (lo, div) instead of a full-scene stream, and the device
+    reconstruction is bit-identical to a host broadcast."""
+    import pytest
+
+    ny, nx = 40, 64
+    rng = np.random.default_rng(11)
+    inc_vec = np.linspace(18.0, 47.0, nx)
+    wspd = rng.uniform(0.5, 45.0, (ny, nx))
+    phi = rng.uniform(0.0, 360.0, (ny, nx))
+    inc_full = np.broadcast_to(inc_vec, (ny, nx))
+    s0_co = 10 ** ((-25.0 + 16.0 * np.log10(wspd + 1.0)
+                    - 0.2 * (inc_full - 30.0)) / 10.0)
+    s0_cr = 10 ** ((-35.0 + 0.6 * wspd - 0.1 * (inc_full - 30.0)) / 10.0)
+    anc = wspd * np.exp(1j * np.deg2rad(phi))
+    tables = prepare_tables("gmf_cmod5n", "gmf_s1_v2", dtype=jnp.float64,
+                            **KW)
+    f64 = np.dtype(np.float64)
+
+    def run(inc_arg, **kw):
+        src = _LazySource((ny, nx), f64, inc_arg, s0_co=s0_co, s0_cr=s0_cr,
+                          dsig_cr=0.1, anc=anc, device_db=False)
+        return src, _invert_source(tables, src, mode="exact", **kw)
+
+    src_f, ref = run(np.ascontiguousarray(inc_full))
+    assert src_f.spec[-1] == "full"
+
+    for shape in ((nx,), (1, nx)):
+        src_v, got = run(inc_vec.reshape(shape))
+        assert src_v.spec[-1] == "sample"
+        p = src_v.piece(0, 128)
+        assert p[0].shape == (nx,) and tuple(p[1]) == (0, nx)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(a, b)
+
+    # line vector: rebuild sigma0 so truth varies by line instead
+    inc_line = np.linspace(18.0, 47.0, ny).reshape(ny, 1)
+    inc_lf = np.broadcast_to(inc_line, (ny, nx))
+    s0l = 10 ** ((-25.0 + 16.0 * np.log10(wspd + 1.0)
+                  - 0.2 * (inc_lf - 30.0)) / 10.0)
+    src_l = _LazySource((ny, nx), f64, inc_line, s0_co=s0l, s0_cr=s0_cr,
+                        dsig_cr=0.1, anc=anc, device_db=False)
+    assert src_l.spec[-1] == "line"
+    got_l = _invert_source(tables, src_l, mode="exact")
+    src_lr = _LazySource((ny, nx), f64, np.ascontiguousarray(inc_lf),
+                         s0_co=s0l, s0_cr=s0_cr, dsig_cr=0.1, anc=anc,
+                         device_db=False)
+    ref_l = _invert_source(tables, src_lr, mode="exact")
+    for a, b in zip(got_l, ref_l):
+        np.testing.assert_array_equal(a, b)
+
+    # scalar inc + multi-piece streaming (lo offsets exercise the gather)
+    src_s = _LazySource((ny, nx), f64, np.float64(35.0), s0_co=s0_co,
+                        s0_cr=s0_cr, dsig_cr=0.1, anc=anc, device_db=False)
+    assert src_s.spec[-1] == "sample" and src_s._inc_div == 1
+    got_s = _invert_source(tables, src_s, mode="exact", piece_size=512)
+    src_sr = _LazySource((ny, nx), f64, np.full((ny, nx), 35.0),
+                         s0_co=s0_co, s0_cr=s0_cr, dsig_cr=0.1, anc=anc,
+                         device_db=False)
+    ref_s = _invert_source(tables, src_sr, mode="exact")
+    for a, b in zip(got_s, ref_s):
+        np.testing.assert_array_equal(a, b)
+
+    # non-broadcastable shapes are rejected with a clear error
+    with pytest.raises(ValueError, match="broadcastable"):
+        _LazySource((ny, nx), f64, np.zeros(ny), s0_co=s0_co,
+                    dsig_cr=0.1, anc=anc)
+
+    # multi-piece sample-vector streaming (piece boundary != row boundary)
+    src_mp = _LazySource((ny, nx), f64, inc_vec, s0_co=s0_co, s0_cr=s0_cr,
+                         dsig_cr=0.1, anc=anc, device_db=False)
+    got_mp = _invert_source(tables, src_mp, mode="exact", piece_size=1000)
+    for a, b in zip(got_mp, ref):
+        np.testing.assert_array_equal(a, b)
+
+    # the reconstruct wrapper composes with the pallas pipeline too
+    t32 = prepare_tables("gmf_cmod5n", "gmf_s1_v2", dtype=jnp.float32, **KW)
+    f32 = np.dtype(np.float32)
+    sv = _LazySource((ny, nx), f32, inc_vec, s0_co=s0_co, s0_cr=s0_cr,
+                     dsig_cr=0.1, anc=anc)
+    sf = _LazySource((ny, nx), f32, np.ascontiguousarray(inc_full),
+                     s0_co=s0_co, s0_cr=s0_cr, dsig_cr=0.1, anc=anc)
+    got_p = _invert_source(t32, sv, mode="pallas_interpret")
+    ref_p = _invert_source(t32, sf, mode="pallas_interpret")
+    for a, b in zip(got_p, ref_p):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_source_reuse_across_modes_keeps_each_wire_format():

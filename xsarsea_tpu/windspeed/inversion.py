@@ -984,7 +984,7 @@ def _wrap_for_spec(fn, spec):
     — inside the jit, where XLA fuses the elementwise log10 into the
     pipeline's first pass. See _LazySource for the wire-format rationale.
     """
-    device_db, has_co, has_cr, dsig_scalar, has_anc = spec
+    device_db, has_co, has_cr, dsig_scalar, has_anc, inc_mode = spec
 
     # Only the (cheap, elementwise) reconstruction is jitted here; the
     # base fn stays its own compiled program. Nesting it inside this jit
@@ -995,7 +995,24 @@ def _wrap_for_spec(fn, spec):
     @jax.jit
     def reconstruct(*args):
         it = iter(args)
-        inc = next(it)
+        if inc_mode == "full":
+            inc = next(it)
+        else:
+            vec, meta = next(it), next(it)
+            inc = None  # needs the piece length — set from sigma0 below
+        raw_co = next(it) if has_co else None
+        raw_cr = next(it) if has_cr else None
+        dsig = next(it)
+        anc = (next(it), next(it)) if has_anc else None
+
+        if inc is None:
+            # reconstruct the flat-broadcast inc stream on device: same
+            # f32 values a host broadcast would ship, zero wire bytes.
+            # _LazySource guarantees a sigma0 stream exists in this mode.
+            ref = raw_co if raw_co is not None else raw_cr
+            idx = meta[0] + jnp.arange(ref.shape[0], dtype=jnp.int32)
+            pos = idx % meta[1] if inc_mode == "sample" else idx // meta[1]
+            inc = vec[pos]
         nanv = jnp.full(inc.shape, jnp.nan, dtype=inc.dtype)
 
         def db(x):
@@ -1003,12 +1020,11 @@ def _wrap_for_spec(fn, spec):
                 return x
             return 10.0 * jnp.log10(x + jnp.asarray(1e-15, x.dtype))
 
-        s0_co = db(next(it)) if has_co else nanv
-        s0_cr = db(next(it)) if has_cr else nanv
-        dsig = next(it)
+        s0_co = db(raw_co) if has_co else nanv
+        s0_cr = db(raw_cr) if has_cr else nanv
         if dsig_scalar:
             dsig = jnp.broadcast_to(dsig, inc.shape)
-        anc_re, anc_im = (next(it), next(it)) if has_anc else (nanv, nanv)
+        anc_re, anc_im = anc if has_anc else (nanv, nanv)
         return inc, s0_co, s0_cr, dsig, anc_re, anc_im
 
     def wrapped(*args):
@@ -1103,8 +1119,13 @@ class _LazySource:
 
     Wire format (``spec``): missing streams are never shipped — the jit
     wrapper synthesizes the NaN fills on device (bit-identical, zero
-    bytes on the wire) — and a scalar ``dsig_cr`` ships as one 0-d
-    scalar instead of a broadcast full-scene stream. With ``device_db``
+    bytes on the wire) — a scalar ``dsig_cr`` ships as one 0-d scalar
+    instead of a broadcast full-scene stream, and a broadcastable
+    incidence (scalar, ``(nx,)``/``(1, nx)`` sample vector, or
+    ``(ny, 1)`` line vector — SAR incidence varies along range only)
+    ships as the small vector + a (lo, divisor) pair, reconstructed on
+    device by an index gather (bit-identical to a host broadcast;
+    drops the 4 B/px inc stream). With ``device_db``
     set (the f32 pallas path), sigma0 ships LINEAR and the
     ``10*log10(x + 1e-15)`` conversion runs inside the jitted pipeline:
     same bytes but the host log10 (the bulk of host prep) disappears.
@@ -1131,11 +1152,52 @@ class _LazySource:
         self.dsig_cr, self.anc = dsig_cr, anc
         self.device_db = device_db
 
+        # broadcastable incidence: SAR incidence varies along range only,
+        # so scenes naturally carry a (nx,) sample vector (or a (ny, 1)
+        # line vector / a scalar). Ship the SMALL vector once per piece
+        # plus a (lo, divisor) tuple and reconstruct the full stream on
+        # device with an index gather — bit-identical to broadcasting on
+        # host (same f32 values), and it drops the 4 B/px inc stream from
+        # the wire (dual-pol + scalar dsig: 20 -> 16 B/px).
+        self.inc_mode = "full"
+        self._inc_vec = None
+        self._inc_div = 1
+        inc_shape = None if inc is None else tuple(
+            int(s) for s in np.shape(inc))
+        if inc_shape is not None and inc_shape != self.shape:
+            if inc_shape in ((), (1,)):
+                self.inc_mode, self._inc_div = "sample", 1
+            elif len(self.shape) == 2 and inc_shape in (
+                    (self.shape[1],), (1, self.shape[1])):
+                self.inc_mode, self._inc_div = "sample", self.shape[1]
+            elif len(self.shape) == 2 and inc_shape == (self.shape[0], 1):
+                self.inc_mode, self._inc_div = "line", self.shape[1]
+            else:
+                raise ValueError(
+                    f"incidence shape {inc_shape} is neither the scene "
+                    f"shape {self.shape} nor broadcastable to it as a "
+                    "scalar, (nx,)/(1, nx) sample vector or (ny, 1) line "
+                    "vector")
+            if s0_co is None and s0_cr is None:
+                raise ValueError(
+                    "broadcastable incidence requires a sigma0 stream")
+            if self.n >= 2 ** 31:  # flat index rides an i32 on the wire
+                raise ValueError("broadcastable incidence supports scenes "
+                                 "< 2**31 pixels; pass a full inc array")
+            self._inc_vec = np.ascontiguousarray(
+                np.asarray(inc, dtype=np.float64).reshape(-1))
+
+    @property
+    def n_header(self):
+        """Leading piece entries that are not per-pixel streams (and so
+        must never be tail-padded): the inc vector + its (lo, div)."""
+        return 0 if self.inc_mode == "full" else 2
+
     @property
     def spec(self):
         return (bool(self.device_db), self.s0_co is not None,
                 self.s0_cr is not None, np.ndim(self.dsig_cr) == 0,
-                self.anc is not None)
+                self.anc is not None, self.inc_mode)
 
     def _db(self, arr, lo, hi):
         if self.device_db:  # ship linear; log10 runs on device (f32)
@@ -1147,8 +1209,16 @@ class _LazySource:
         return np.ascontiguousarray(x, dtype=self.np_dtype)
 
     def piece(self, lo, hi):
-        out = [np.ascontiguousarray(
-            _flat_slice(self.inc, self.shape, lo, hi), dtype=self.np_dtype)]
+        if self.inc_mode == "full":
+            out = [np.ascontiguousarray(
+                _flat_slice(self.inc, self.shape, lo, hi),
+                dtype=self.np_dtype)]
+        else:
+            # small vector + (lo, divisor): device reconstructs the flat
+            # inc stream as vec[(lo+i) % div] (sample; div == len(vec))
+            # or vec[(lo+i) // div] (line; div == scene width)
+            out = [np.ascontiguousarray(self._inc_vec, dtype=self.np_dtype),
+                   np.asarray([lo, self._inc_div], dtype=np.int32)]
         if self.s0_co is not None:
             out.append(self._db(self.s0_co, lo, hi))
         if self.s0_cr is not None:
@@ -1234,13 +1304,18 @@ def _invert_source(tables: InversionTables, source, dsig_co=0.1,
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # leading piece entries that are NOT per-pixel streams (the vector-inc
+    # header) must never be tail-padded
+    n_header = getattr(source, "n_header", 0)
+
     def prep(lo):
         hi = min(lo + _PIECE, n)
         piece = source.piece(lo, hi)
         if hi - lo < _PIECE:  # pad the tail piece: one jit shape only
             piece = [np.pad(a, (0, _PIECE - (hi - lo)),
-                            constant_values=np.nan) if a.ndim else a
-                     for a in piece]
+                            constant_values=np.nan)
+                     if a.ndim and i >= n_header else a
+                     for i, a in enumerate(piece)]
         return [jnp.asarray(a) for a in piece]
 
     offsets = list(range(0, n, _PIECE))
@@ -1417,6 +1492,13 @@ def invert_from_model(
 
     ``dtype``: computation precision; defaults to float32 on TPU and the
     enabled default elsewhere (float64 when x64 is on).
+
+    ``inc`` may be the full scene array or broadcastable to it — a
+    scalar, a ``(nx,)``/``(1, nx)`` per-sample vector, or a ``(ny, 1)``
+    per-line vector (SAR incidence varies along range only). Vector
+    incidence never ships a full-scene stream to the device: the flat
+    stream is reconstructed on device, bit-identical to broadcasting on
+    host and 4 B/px cheaper on the wire.
 
     Inputs may be lazy/chunked duck arrays (dask.array, zarr, h5py
     datasets, np.memmap — anything with ``shape`` and numpy-style
