@@ -89,6 +89,12 @@ def main():
         (1.6, 4.0, 16, 3),
         (0.8, 8.0, 16, 3),
         (1.6, 4.0, 8, 3),
+        # post-pack-2 turbo candidates: the full-unroll slab kernel made
+        # the refine much cheaper, so dphi=2 no longer pays for margin 8
+        # (measured pallas_fast 8.28 < default 9.93 on the r4 kernel) —
+        # keep the default's cheap coarse grid and slim only the margin
+        (0.8, 4.0, 8, 3),
+        (1.6, 8.0, 16, 3),
     ]
     only = os.environ.get("SWEEP_ONLY")  # e.g. "5,6,7,8": config indices
     if only:

@@ -518,12 +518,19 @@ _FAST_MARGIN = 16
 # kernel rate is unchanged (7.49 vs 7.56 measured at equal configs), so
 # there is no reason to keep the 2-term approximation anywhere.
 _COARSE_SPLITS = 3
-# 'pallas_fast': full-resolution coarse phi, slim margin — deviates on
-# ~1e-5 of adversarial pixels (typically one wspd step; worst observed
-# 0.6 m/s copol / 0.1 dual on 4M random pixels) for ~1.06x throughput
-_TURBO_DW = 0.8
-_TURBO_DPHI = 2.0
-_TURBO_MARGIN = 8
+# 'pallas_fast': cheapest coarse grid inside the <=1-wspd-step contract
+# — deviates on ~2e-5 of adversarial pixels (worst observed 0.6 m/s
+# copol / 0.1 dual on 4M random pixels). NOTE (round 4): the old turbo
+# knobs (dphi=2, margin=8) are strictly WORSE on the pack-2 fused
+# kernel: the packed lane layout stores row pairs (2r, 2r+1) so srow0
+# must stay 16-aligned, i.e. margin % 16 == 0 — margin 8 silently falls
+# back to the plain layout + rpi=8 and measured 8.2 vs 9.9 Mpx/s.
+# Re-swept 2026-08-20 (scripts/sweep_margin.py): every margin-8 config
+# lost to margin-16; the only remaining turbo lever is a coarser dw,
+# worth ~0.1% — kept for the API contract, not for speed.
+_TURBO_DW = 1.6
+_TURBO_DPHI = 4.0
+_TURBO_MARGIN = 16
 
 
 def _rebucket_slot(perm, gstar, band_of_block, *, n_inc, n_wgroups,
@@ -1377,8 +1384,9 @@ def invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
     kernels: coarse expanded-form pass + direct-form slab refine +
     bucketed crosspol argmin; 0 deviations vs the full-grid pass on the
     4M-adversarial-pixel sweep — see the table above _COARSE_DW),
-    'pallas_fast' (slim refine margin: ~1.06x faster, deviates on ~1e-5
-    of pixels by typically one wspd step — see _TURBO_MARGIN),
+    'pallas_fast' (coarser first pass, deviates on ~2e-5 of pixels by
+    at most one wspd step; no faster than 'pallas' since the round-4
+    fused kernel — see the note above _TURBO_DW),
     'pallas_exact' (full-grid
     expanded-form pass + slab refine), '*_interpret' variants (kernels
     in interpreter mode, for CPU testing), or 'auto' (pallas on TPU when
