@@ -8,16 +8,109 @@ direct-form VPU slab refine). Matches BASELINE.json config #3.
 Prints ONE JSON line. ``vs_baseline`` is measured Mpx/s/chip divided by
 the north-star rate implied by BASELINE.json (10^8 px / 5 s / 8 chips
 = 2.5 Mpx/s/chip); >1.0 beats the target.
+
+Budget discipline (round-5): the whole run targets ``BENCH_BUDGET_S``
+seconds (default 460) measured from process start. The headline is
+measured FIRST among the expensive sections; every later section is
+skipped when the remaining budget is smaller than its cost estimate
+(recorded under ``skipped_sections``), and a SIGTERM/SIGALRM from an
+external timeout emits the JSON line with everything measured so far —
+a timeout can no longer erase numbers that were already on the clock.
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
 
 BASELINE_RATE = 2.5  # Mpx/s/chip: 1e8 px in 5 s on 8 chips (BASELINE.json)
+T_START = time.time()
+DEADLINE = T_START + float(os.environ.get("BENCH_BUDGET_S", "460"))
+
+RESULTS = {}
+SKIPPED = []
+_EMITTED = False
+
+
+def _remaining():
+    return DEADLINE - time.time()
+
+
+def emit():
+    """Print the single JSON result line from whatever has been measured.
+
+    Idempotent: the signal handler and the normal end-of-run path share
+    it, and only the first call prints.
+    """
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    r = dict(RESULTS)
+    mpx_s = r.pop("headline_mpx_s", None)
+    backend = r.pop("backend", "unknown")
+    parity = r.get("pallas_vs_exact_max_dev_m_s")
+    parity_str = (f"pallas==exact max dev {parity:g} m/s, "
+                  if parity is not None else "")
+    rms = r.get("rms_vs_truth_noisy_m_s")
+    rms_str = (f"RMS vs truth on noisy synthetic scene {rms:.3f} m/s "
+               "[not a parity metric], " if rms is not None else "")
+    e2e = r.get("e2e_from_host_mpx_s")
+    e2e_str = f"from-host e2e {e2e:.2f} Mpx/s, " if e2e is not None else ""
+    out = {
+        "metric": "dual-pol inversion throughput, device-resident inputs "
+                  f"({backend}, mode={r.pop('mode', '?')}, {parity_str}"
+                  f"{rms_str}{e2e_str}"
+                  f"wall {time.time() - T_START:.0f}s)",
+        "value": round(mpx_s, 3) if mpx_s is not None else None,
+        "unit": "Mpx/s/chip",
+        "vs_baseline": (round(mpx_s / BASELINE_RATE, 3)
+                        if mpx_s is not None else None),
+        **r,
+    }
+    if SKIPPED:
+        out["skipped_sections"] = SKIPPED
+    print(json.dumps(out), flush=True)
+
+
+def _on_term(signum, frame):
+    # external timeout: salvage the record, then die promptly. stderr
+    # note so a human reading the driver tail sees what happened.
+    print(f"bench: signal {signum} after {time.time() - T_START:.0f}s — "
+          "emitting partial record", file=sys.stderr, flush=True)
+    SKIPPED.append(f"interrupted_by_signal_{signum}")
+    emit()
+    os._exit(0)
+
+
+def section(name, est_cost_s, fn, *, required=False):
+    """Run one measurement section under the wall-clock budget.
+
+    Skips (recording why) when the remaining budget is below the cost
+    estimate — unless ``required`` (the headline must always run). A
+    section failure records the exception instead of killing the run.
+    """
+    if not required and _remaining() < est_cost_s:
+        SKIPPED.append(f"{name} (budget: {_remaining():.0f}s left, "
+                       f"needs ~{est_cost_s:.0f}s)")
+        print(f"bench: SKIP {name} ({_remaining():.0f}s left)",
+              file=sys.stderr, flush=True)
+        return None
+    t0 = time.time()
+    try:
+        out = fn()
+        print(f"bench: {name} done in {time.time() - t0:.1f}s "
+              f"({_remaining():.0f}s left)", file=sys.stderr, flush=True)
+        return out
+    except Exception as e:  # noqa: BLE001 — one section must not kill the record
+        SKIPPED.append(f"{name} ({type(e).__name__}: {e})")
+        print(f"bench: FAIL {name}: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+        return None
+
 
 _drain_fn = None
 
@@ -44,7 +137,7 @@ def drain(out):
     return np.asarray(_drain_fn(leaves[-1]))
 
 
-def _backend_responsive(timeout_s=300):
+def _backend_responsive(timeout_s=60):
     """Probe device-backend init in a subprocess.
 
     The axon dev tunnel occasionally wedges: ``jax.devices()`` then hangs
@@ -54,7 +147,6 @@ def _backend_responsive(timeout_s=300):
     Healthy backends (TPU or plain CPU) answer in seconds.
     """
     import subprocess
-    import sys
 
     try:
         r = subprocess.run(
@@ -209,13 +301,12 @@ def _register_synthetic_cmod7():
     register_cmod7(str(d))
 
 
-def _ensure_native_lutio():
+def _ensure_native_lutio(timeout_s=120):
     """Build the native LUT codec in-place when absent (VERDICT r3 #9:
     the bench environment must exercise the production decoder, not the
     pure-Python fallback). Returns True when the native module imports."""
     import importlib
     import subprocess
-    import sys
     from pathlib import Path
 
     try:
@@ -226,8 +317,8 @@ def _ensure_native_lutio():
     try:
         subprocess.run(
             [sys.executable, "setup.py", "build_ext", "--inplace"],
-            cwd=Path(__file__).parent, capture_output=True, timeout=300,
-            check=True)
+            cwd=Path(__file__).parent, capture_output=True,
+            timeout=timeout_s, check=True)
         # the package dir may already sit in the FileFinder mtime cache
         # (scanned this very second): without invalidation the fresh .so
         # is invisible and the bench would silently time the fallback
@@ -239,7 +330,7 @@ def _ensure_native_lutio():
 
 
 def _e2e_child(scene_dir):
-    """Fresh-process from-host e2e measurement (invoked as
+    """Fresh-process from-disk e2e measurement (invoked as
     ``bench.py --e2e-child <dir>`` by main()).
 
     The in-process e2e number is hostage to the dev tunnel's sticky h2d
@@ -283,23 +374,16 @@ def _e2e_child(scene_dir):
     print(json.dumps({"e2e_mpx_s": best}))
 
 
-def _e2e_fresh_process(inc, s0_co, s0_cr, anc, timeout_s=900):
-    """Write the scene to disk and measure e2e in a fresh process.
-
-    Returns the child's Mpx/s or None (child failure / timeout never
-    fails the bench).
-    """
-    import shutil
+def _e2e_fresh_process(scene_dir, timeout_s=240):
+    """Measure from-disk e2e in a fresh process on an already-written
+    scene dir. Returns the child's Mpx/s or None (child failure /
+    timeout never fails the bench)."""
     import subprocess
-    import tempfile
 
-    d = tempfile.mkdtemp(prefix="bench_e2e_")
     try:
-        for name, a in (("inc", inc), ("s0_co", s0_co), ("s0_cr", s0_cr),
-                        ("anc", anc)):
-            np.save(os.path.join(d, name + ".npy"), a)
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--e2e-child", d],
+            [sys.executable, os.path.abspath(__file__), "--e2e-child",
+             scene_dir],
             capture_output=True, text=True, timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         for line in reversed(out.stdout.strip().splitlines()):
@@ -307,14 +391,26 @@ def _e2e_fresh_process(inc, s0_co, s0_cr, anc, timeout_s=900):
                 return float(json.loads(line)["e2e_mpx_s"])
             except (ValueError, KeyError):
                 continue
-    except Exception:
+    except Exception:  # noqa: BLE001 — diagnostics-only section
         pass
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
     return None
 
 
 def main():
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    try:
+        _main_body()
+    except Exception as e:  # noqa: BLE001 — salvage whatever was measured
+        SKIPPED.append(f"crashed: {type(e).__name__}: {e}")
+        import traceback
+
+        traceback.print_exc()
+    finally:
+        emit()
+
+
+def _main_body():
     tpu_unavailable = not _backend_responsive()
 
     import jax
@@ -323,15 +419,30 @@ def main():
         # before any backend init: fall back to the host CPU platform so
         # the bench still emits its JSON line on a wedged dev tunnel
         jax.config.update("jax_platforms", "cpu")
+        RESULTS["tpu_unavailable"] = True
 
     import jax.numpy as jnp
 
-    native_lutio = _ensure_native_lutio()
+    RESULTS["native_lutio"] = _ensure_native_lutio()
 
     from xsarsea_tpu.models import get_model
-    from xsarsea_tpu.windspeed.inversion import invert_pixels, prepare_tables
+    from xsarsea_tpu.windspeed.inversion import (_get_invert_fn,
+                                                 _invert_source, _LazySource,
+                                                 invert_pixels,
+                                                 prepare_tables)
 
-    n = 1 << 23  # 8.4 Mpx
+    on_tpu = jax.default_backend() == "tpu"
+    mode = "pallas" if on_tpu else "exact"
+    RESULTS["backend"] = jax.default_backend()
+    RESULTS["mode"] = mode
+
+    # config #1 first: fresh-process transfers (see bench_detrend docstring)
+    d = section("detrend", 40, lambda: bench_detrend(on_tpu))
+    if d is not None:
+        RESULTS["detrend_mpx_s"] = round(d, 1)
+
+    n = 1 << 23 if on_tpu else 1 << 16  # 8.4 Mpx (64 Kpx on CPU fallback)
+    nxv = 4096  # scene width for the 2-D / vector-incidence shapes
     rng = np.random.default_rng(0)
     inc = rng.uniform(18.0, 47.0, n)
     wspd = rng.uniform(0.5, 45.0, n)
@@ -339,10 +450,6 @@ def main():
 
     m_co = get_model("gmf_cmod5n")
     m_cr = get_model("gmf_s1_v2")
-
-    # config #1 first: fresh-process transfers (see bench_detrend docstring)
-    detrend_mpx_s = bench_detrend(jax.default_backend() == "tpu")
-
     tables = prepare_tables(m_co, m_cr, dtype=jnp.float32)
 
     # forward-model the scene (not timed)
@@ -354,205 +461,194 @@ def main():
         1j * np.deg2rad(phi))
     dsig_cr = np.full(n, 0.1)
 
-    mode = "pallas" if jax.default_backend() == "tpu" else "exact"
-    if mode == "exact":
-        n = 1 << 16  # CPU fallback: keep the run short
-        inc, s0_co_db, s0_cr_db = inc[:n], s0_co_db[:n], s0_cr_db[:n]
-        dsig_cr, anc, wspd = dsig_cr[:n], anc[:n], wspd[:n]
-
-    args = (tables, inc, s0_co_db, s0_cr_db, dsig_cr, anc)
-
-    # compile + warm caches (and fetch results for the accuracy readout)
-    co, dual = invert_pixels(*args, mode=mode)
-
-    # end-to-end: host inputs -> device-resident results (transfers
-    # streamed in double-buffered pieces overlapping compute; the d2h
-    # copy is not part of the step — downstream stages keep working on
-    # device). The user-facing wire format: LINEAR f32 sigma0 (dB
-    # conversion fused into the device pipeline), scalar dsig_cr not
-    # streamed, 20 B/px total. Best of 3: the first streamed pass after
-    # a compile pays a one-time staging penalty on the dev-tunnel
-    # backend.
-    from xsarsea_tpu.windspeed.inversion import _invert_source, _LazySource
-
-    s0_co_lin32 = np.power(10.0, s0_co_db / 10.0).astype(np.float32)
-    s0_cr_lin32 = np.power(10.0, s0_cr_db / 10.0).astype(np.float32)
-    e2e_src = _LazySource((n,), np.dtype(np.float32), inc,
-                          s0_co=s0_co_lin32, s0_cr=s0_cr_lin32,
-                          dsig_cr=0.1, anc=anc)
-    e2e_inproc_mpx_s = 0.0
-    for _ in range(3):
-        t0 = time.time()
-        co_d, dual_d = _invert_source(tables, e2e_src, mode=mode,
-                                      device_output=True)
-        drain((co_d, dual_d))
-        e2e_inproc_mpx_s = max(e2e_inproc_mpx_s, n / (time.time() - t0) / 1e6)
-        del co_d, dual_d
-
-    # vector-incidence wire (the realistic SAR scene shape: incidence
-    # varies along range only, so it ships as one (nx,) vector instead
-    # of a full O(n) stream — 20 -> 16 B/px, reconstructed on device
-    # bit-identically to a host broadcast)
-    nxv = 4096
-    nyv = n // nxv
-    npv = nyv * nxv
-    e2e_vec_src = _LazySource(
-        (nyv, nxv), np.dtype(np.float32),
-        np.linspace(18.0, 47.0, nxv).astype(np.float32),
-        s0_co=s0_co_lin32[:npv].reshape(nyv, nxv),
-        s0_cr=s0_cr_lin32[:npv].reshape(nyv, nxv),
-        dsig_cr=0.1, anc=anc[:npv].reshape(nyv, nxv))
-    e2e_vec_mpx_s = 0.0
-    for _ in range(3):
-        t0 = time.time()
-        co_d, dual_d = _invert_source(tables, e2e_vec_src, mode=mode,
-                                      device_output=True)
-        drain((co_d, dual_d))
-        e2e_vec_mpx_s = max(e2e_vec_mpx_s, npv / (time.time() - t0) / 1e6)
-        del co_d, dual_d
-
-    # ... and once from a FRESH process (see _e2e_child): the honest
-    # production-shaped from-host number, free of this process's sticky
-    # tunnel-transfer state. Headline e2e = best of the two.
-    e2e_fresh_mpx_s = None
-    if mode == "pallas":
-        e2e_fresh_mpx_s = _e2e_fresh_process(inc, s0_co_lin32, s0_cr_lin32,
-                                             anc)
-    e2e_mpx_s = max(e2e_inproc_mpx_s, e2e_fresh_mpx_s or 0.0)
-
-    # headline: steady-state inversion rate with device-resident inputs —
-    # the faithful proxy for production hardware, where PCIe/ICI feeds the
-    # chip 2-3 orders of magnitude faster than this dev tunnel (whose h2d
-    # path degrades ~30x once any gather op has executed; see
-    # docs/DESIGN.md and the axon notes)
-    from xsarsea_tpu.windspeed.inversion import _get_invert_fn
-
-    fn = _get_invert_fn(tables, 8192, mode=mode, dsig_co=0.1)
-    import jax.numpy as jnp
-
+    # ---- HEADLINE (always runs): steady-state inversion rate with
+    # device-resident inputs — the faithful proxy for production
+    # hardware, where PCIe/ICI feeds the chip 2-3 orders of magnitude
+    # faster than this dev tunnel (whose h2d path degrades ~30x once any
+    # gather op has executed; see docs/DESIGN.md and the axon notes)
+    reps = 3
     dev = [jnp.asarray(np.ascontiguousarray(a, np.float32)) for a in
            (inc, s0_co_db, s0_cr_db, dsig_cr, anc.real, anc.imag)]
     dev.append(jnp.asarray(0.1, jnp.float32))
-    out = fn(*dev)
-    drain(out)
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        out = fn(*dev)
-    drain(out)
-    mpx_s = n * reps / (time.time() - t0) / 1e6
 
-    # pallas_fast: <=1 wspd-step deviation on <1% pixels, ~1.2-1.3x faster
-    fast_mpx_s = None
-    if mode == "pallas":
-        fn_fast = _get_invert_fn(tables, 8192, mode="pallas_fast", dsig_co=0.1)
-        out = fn_fast(*dev)
+    def headline():
+        fn = _get_invert_fn(tables, 8192, mode=mode, dsig_co=0.1)
+        out = fn(*dev)
         drain(out)
         t0 = time.time()
         for _ in range(reps):
-            out = fn_fast(*dev)
+            out = fn(*dev)
         drain(out)
-        fast_mpx_s = round(n * reps / (time.time() - t0) / 1e6, 3)
+        RESULTS["headline_mpx_s"] = n * reps / (time.time() - t0) / 1e6
+        # RMS vs truth for the metric string (reuses the warm closure; a
+        # 1M-px subsample keeps the d2h readback small on the dev tunnel)
+        ns = min(n, 1 << 20)
+        co, dual = invert_pixels(tables, inc[:ns], s0_co_db[:ns],
+                                 s0_cr_db[:ns], dsig_cr[:ns], anc[:ns],
+                                 mode=mode)
+        RESULTS["rms_vs_truth_noisy_m_s"] = round(float(
+            np.sqrt(np.nanmean((np.abs(dual) - wspd[:ns]) ** 2))), 3)
 
-    # CMOD7 high-res-LUT variant (BASELINE config #5): same grid shapes,
-    # so the pipeline executable is reused with the CMOD7 table operands
-    cmod7_mpx_s = None
-    if mode == "pallas":
+    section("headline", 0, headline, required=True)
+
+    # ---- CMOD7 high-res-LUT variant (BASELINE config #5): same grid
+    # shapes, so the pipeline executable is reused with the CMOD7 table
+    # operands
+    def cmod7():
         _register_synthetic_cmod7()
-        # high-resolution grid (0.1 deg inc, 0.1 m/s wspd, 1 deg phi) —
-        # same LUT shapes as the cmod5n headline, so the Mosaic pipeline
-        # executable is reused outright
         tables7 = prepare_tables(get_model("gmf_cmod7"), m_cr,
                                  dtype=jnp.float32,
                                  inc_step=0.1, wspd_step=0.1, phi_step=1.0)
-        fn7 = _get_invert_fn(tables7, 8192, mode="pallas", dsig_co=0.1)
+        fn7 = _get_invert_fn(tables7, 8192, mode=mode, dsig_co=0.1)
         out = fn7(*dev)
         drain(out)
         t0 = time.time()
         for _ in range(reps):
             out = fn7(*dev)
         drain(out)
-        cmod7_mpx_s = round(n * reps / (time.time() - t0) / 1e6, 3)
+        RESULTS["cmod7_mpx_s"] = round(n * reps / (time.time() - t0) / 1e6, 3)
+        # drop the extra closure (it pins a duplicate set of padded LUT
+        # operands on device) before the remaining sections
+        tables7.__dict__.pop("_invert_fn_cache", None)
 
-    # copol-only VV inversion (BASELINE config #2): no crosspol table, so
-    # the pipeline compiles without stage 3; the call signature is
-    # unchanged (crosspol operands are never-read dummies)
-    copol_mpx_s = None
-    if mode == "pallas":
+    if on_tpu:
+        section("cmod7", 45, cmod7)
+
+    # ---- copol-only VV inversion (BASELINE config #2): no crosspol
+    # table, so the pipeline compiles without stage 3; the call signature
+    # is unchanged (crosspol operands are never-read dummies)
+    def copol():
         tables_co = prepare_tables(m_co, None, dtype=jnp.float32)
-        fn_co = _get_invert_fn(tables_co, 8192, mode="pallas", dsig_co=0.1)
+        fn_co = _get_invert_fn(tables_co, 8192, mode=mode, dsig_co=0.1)
         out = fn_co(*dev)
         drain(out)
         t0 = time.time()
         for _ in range(reps):
             out = fn_co(*dev)
         drain(out)
-        copol_mpx_s = round(n * reps / (time.time() - t0) / 1e6, 3)
-        # drop the cmod7/copol-only closures (each pins a duplicate set
-        # of padded LUT operands on device) before the remaining
-        # sections, keeping residual residency at the headline level
-        tables7.__dict__.pop("_invert_fn_cache", None)
+        RESULTS["copol_mpx_s"] = round(n * reps / (time.time() - t0) / 1e6, 3)
         tables_co.__dict__.pop("_invert_fn_cache", None)
-        del fn7, fn_co, out
 
-    # host prep rate of the streamed public-API path (piece slicing,
-    # complex split, f32 cast; the dB conversion now runs fused on
-    # device — VERDICT r2 item 1 / r3 item 3: prep used to be ~6
-    # full-scene f64 temporaries, now O(piece) casts off the critical
-    # path)
-    src = _LazySource((n,), np.dtype(np.float32), inc, s0_co=s0_co_lin32,
-                      s0_cr=s0_cr_lin32, dsig_cr=0.1, anc=anc,
-                      device_db=True)
-    t0 = time.time()
-    for lo in range(0, n, 1 << 22):
-        src.piece(lo, min(lo + (1 << 22), n))
-    host_prep_mpx_s = n / (time.time() - t0) / 1e6
+    if on_tpu:
+        section("copol", 45, copol)
 
-    # close the parity chain ON THIS DEVICE: fused pallas pipeline vs the
+    # ---- end-to-end from host memory: the public streamed path with the
+    # production wire format — LINEAR f32 sigma0 (dB conversion fused
+    # into the device pipeline), scalar dsig_cr not streamed, vector
+    # incidence (SAR incidence varies along range only: ships O(nx), not
+    # O(n)) — 16 B/px. Device-resident outputs (downstream stages keep
+    # working on device).
+    s0_co_lin32 = np.power(10.0, s0_co_db / 10.0).astype(np.float32)
+    s0_cr_lin32 = np.power(10.0, s0_cr_db / 10.0).astype(np.float32)
+    nyv = n // nxv if n >= nxv else 1
+    npv = nyv * (nxv if n >= nxv else n)
+    nxv_eff = nxv if n >= nxv else n
+    inc_vec = np.linspace(18.0, 47.0, nxv_eff).astype(np.float32)
+
+    def e2e_host():
+        src = _LazySource(
+            (nyv, nxv_eff), np.dtype(np.float32), inc_vec,
+            s0_co=s0_co_lin32[:npv].reshape(nyv, nxv_eff),
+            s0_cr=s0_cr_lin32[:npv].reshape(nyv, nxv_eff),
+            dsig_cr=0.1, anc=anc[:npv].reshape(nyv, nxv_eff))
+        best = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            co_d, dual_d = _invert_source(tables, src, mode=mode,
+                                          device_output=True)
+            drain((co_d, dual_d))
+            best = max(best, npv / (time.time() - t0) / 1e6)
+            del co_d, dual_d
+        RESULTS["e2e_from_host_mpx_s"] = round(best, 2)
+
+    section("e2e_from_host", 40, e2e_host)
+
+    # ---- end-to-end from DISK through the public API (VERDICT r4 #6):
+    # invert_from_model on memmapped npy inputs, host outputs — the full
+    # user-shaped path including piece streaming, device compute and the
+    # d2h result copy. Scene dir is shared with the fresh-process child.
+    import shutil
+    import tempfile
+
+    scene_dir = tempfile.mkdtemp(prefix="bench_e2e_")
+    np.save(os.path.join(scene_dir, "inc.npy"), inc)
+    np.save(os.path.join(scene_dir, "s0_co.npy"), s0_co_lin32)
+    np.save(os.path.join(scene_dir, "s0_cr.npy"), s0_cr_lin32)
+    np.save(os.path.join(scene_dir, "anc.npy"), anc)
+
+    def e2e_disk():
+        from xsarsea_tpu.windspeed import invert_from_model
+
+        mm = lambda k: np.load(os.path.join(scene_dir, k + ".npy"),
+                               mmap_mode="r")[:npv].reshape(nyv, nxv_eff)
+        best = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            co, dual = invert_from_model(
+                mm("inc"), mm("s0_co"), mm("s0_cr"),
+                ancillary_wind=mm("anc"), dsig_cr=0.1,
+                model=("gmf_cmod5n", "gmf_s1_v2"), mode=mode)
+            best = max(best, npv / (time.time() - t0) / 1e6)
+            del co, dual
+        RESULTS["e2e_disk_mpx_s"] = round(best, 2)
+
+    section("e2e_disk", 45, e2e_disk)
+
+    # ---- host prep rate of the streamed public-API path (piece slicing,
+    # complex split, f32 cast; the dB conversion runs fused on device)
+    def host_prep():
+        src = _LazySource((n,), np.dtype(np.float32), inc,
+                          s0_co=s0_co_lin32, s0_cr=s0_cr_lin32,
+                          dsig_cr=0.1, anc=anc, device_db=True)
+        t0 = time.time()
+        for lo in range(0, n, 1 << 22):
+            src.piece(lo, min(lo + (1 << 22), n))
+        RESULTS["host_prep_mpx_s"] = round(n / (time.time() - t0) / 1e6, 1)
+
+    section("host_prep", 10, host_prep)
+
+    # ---- parity chain ON THIS DEVICE: fused pallas pipeline vs the
     # portable exact XLA path on a 64k-px subsample (expected: identical)
-    pallas_vs_exact_max_dev = None
-    if mode == "pallas":
+    def parity():
         ns = 1 << 16  # the exact path per-pixel-gathers ~360 KB of LUT
         sub = tuple(a[:ns] for a in (inc, s0_co_db, s0_cr_db, dsig_cr, anc))
         co_p, dual_p = invert_pixels(tables, *sub, mode="pallas")
         co_x, dual_x = invert_pixels(tables, *sub, mode="exact")
         diffs = [np.nanmax(np.abs(np.nan_to_num(np.abs(a) - np.abs(b))))
                  for a, b in ((co_p, co_x), (dual_p, dual_x))]
-        pallas_vs_exact_max_dev = float(max(diffs))
+        RESULTS["pallas_vs_exact_max_dev_m_s"] = float(max(diffs))
 
-    rms = float(np.sqrt(np.nanmean((np.abs(dual) - wspd) ** 2)))
-    streaks_mpx_s = bench_streaks()
-    gradients_class_mpx_s = bench_gradients_class()
-    parity_str = ("pallas==exact max dev "
-                  f"{pallas_vs_exact_max_dev:g} m/s, "
-                  if pallas_vs_exact_max_dev is not None else "")
-    print(json.dumps({
-        "metric": "dual-pol inversion throughput, device-resident inputs "
-                  f"({jax.default_backend()}, mode={mode}, {parity_str}"
-                  "RMS vs truth on noisy synthetic scene "
-                  f"{rms:.3f} m/s [not a parity metric], "
-                  f"from-host e2e {e2e_mpx_s:.2f} Mpx/s, "
-                  f"streaks histogram {streaks_mpx_s:.1f} Mpx/s)",
-        "value": round(mpx_s, 3),
-        "unit": "Mpx/s/chip",
-        "vs_baseline": round(mpx_s / BASELINE_RATE, 3),
-        "streaks_mpx_s": round(streaks_mpx_s, 1),
-        "gradients_class_mpx_s": round(gradients_class_mpx_s, 1),
-        "e2e_from_host_mpx_s": round(e2e_mpx_s, 2),
-        "e2e_from_host_inproc_mpx_s": round(e2e_inproc_mpx_s, 2),
-        "e2e_from_host_vec_inc_mpx_s": round(e2e_vec_mpx_s, 2),
-        **({"e2e_from_host_fresh_mpx_s": round(e2e_fresh_mpx_s, 2)}
-           if e2e_fresh_mpx_s is not None else {}),
-        "host_prep_mpx_s": round(host_prep_mpx_s, 1),
-        "pallas_fast_mpx_s": fast_mpx_s,
-        "cmod7_mpx_s": cmod7_mpx_s,
-        "copol_mpx_s": copol_mpx_s,
-        "detrend_mpx_s": round(detrend_mpx_s, 1),
-        "pallas_vs_exact_max_dev_m_s": pallas_vs_exact_max_dev,
-        "rms_vs_truth_noisy_m_s": round(rms, 3),
-        "native_lutio": native_lutio,
-        **({"tpu_unavailable": True} if tpu_unavailable else {}),
-    }))
+    if on_tpu:
+        section("parity", 70, parity)
+
+    # ---- streaks + multiscale gradients (BASELINE config #4)
+    s = section("streaks", 45, bench_streaks)
+    if s is not None:
+        RESULTS["streaks_mpx_s"] = round(s, 1)
+    g = section("gradients_class", 80, bench_gradients_class)
+    if g is not None:
+        RESULTS["gradients_class_mpx_s"] = round(g, 1)
+
+    # ---- fresh-process from-disk e2e: the honest production-shaped
+    # number, free of this process's sticky tunnel-transfer state. OFF by
+    # default (VERDICT r4 #1b): the child spends ~3 min staging the LUT
+    # operands over the dev tunnel — measured 1.7-2.1 Mpx/s, within the
+    # in-process from-disk number's range, so it is not worth its budget
+    # in the driver run. Set BENCH_E2E_FRESH=1 to measure it.
+    def e2e_fresh():
+        budget = min(240, max(60, int(_remaining())))
+        r = _e2e_fresh_process(scene_dir, timeout_s=budget)
+        if r is None:
+            raise RuntimeError("child produced no result")
+        RESULTS["e2e_from_host_fresh_mpx_s"] = round(r, 2)
+        RESULTS["e2e_from_host_mpx_s"] = round(
+            max(r, RESULTS.get("e2e_from_host_mpx_s", 0.0)), 2)
+
+    if on_tpu and os.environ.get("BENCH_E2E_FRESH"):
+        section("e2e_fresh", 190, e2e_fresh)
+
+    shutil.rmtree(scene_dir, ignore_errors=True)
+    emit()
 
 
 if __name__ == "__main__":
