@@ -124,8 +124,9 @@ def test_pallas_matches_exact_mode(seed, kwargs):
 
 
 def test_pallas_fast_mode_close_to_exact():
-    """'pallas_fast' trades exactness for speed: at most one wspd-step
-    deviation, on a small fraction of pixels."""
+    """'pallas_fast' is a deprecated alias of 'pallas' (round 5): it
+    must warn and return EXACT results (the historical <=1-wspd-step
+    relaxation no longer exists)."""
     kwargs = dict(inc_step=0.5, wspd_step=0.5, phi_step=5.0)
     lut_co = get_model("gmf_cmod5n").to_lut(units="dB", **kwargs)
     lut_cr = get_model("gmf_s1_v2").to_lut(units="dB", **kwargs)
@@ -145,16 +146,13 @@ def test_pallas_fast_mode_close_to_exact():
     dsig_cr = rng.uniform(0.1, 1.0, n)
 
     co_e, dual_e = invert_pixels(tables, inc, s0_co_db, s0_cr_db, dsig_cr, anc,
-                                 mode="exact")
-    co_f, dual_f = invert_pixels(tables, inc, s0_co_db, s0_cr_db, dsig_cr, anc,
-                                 mode="pallas_fast_interpret")
-    wspd_step = 0.5
+                                 mode="pallas_interpret")
+    with pytest.warns(DeprecationWarning, match="pallas_fast"):
+        co_f, dual_f = invert_pixels(tables, inc, s0_co_db, s0_cr_db,
+                                     dsig_cr, anc,
+                                     mode="pallas_fast_interpret")
     for got, ref in ((co_f, co_e), (dual_f, dual_e)):
-        m = ~np.isnan(np.abs(ref))
-        np.testing.assert_array_equal(np.isnan(np.abs(got)), ~m)
-        diff = np.abs(np.abs(got[m]) - np.abs(ref[m]))
-        assert diff.max() <= wspd_step + 1e-6
-        assert (diff > 1e-6).mean() < 0.05
+        np.testing.assert_array_equal(got, ref)
 
 
 def test_pallas_nonuniform_incidence_grid():

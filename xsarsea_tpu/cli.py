@@ -171,8 +171,7 @@ def main(argv=None):
                        help="model name, or 'co_model,cr_model' for "
                             "dual-pol")
     p_inv.add_argument("--mode", default="auto",
-                       help="inversion mode (auto/exact/pallas/"
-                            "pallas_fast)")
+                       help="inversion mode (auto/exact/pallas)")
     p_inv.add_argument("--dsig-cr", type=float, default=0.1)
     p_inv.set_defaults(func=cmd_invert)
 

@@ -74,20 +74,19 @@ def _sharded_invert_pixels_pallas(tables, inc, s0_co_db, s0_cr_db, dsig_cr,
 
     from xsarsea_tpu.windspeed import inversion as _inv
 
+    mode = _inv._normalize_mode(mode)
     cache = tables.__dict__.setdefault("_invert_fn_cache", {})
     # Mesh is hashable and compared by devices+axes — no id() reuse
     # issues. The sweepable module knobs join the key for the same
     # reason as the single-device key: a mutated knob must never be
     # served a stale compiled closure.
     key = ("sharded", mode, float(dsig_co), mesh, _inv._COARSE_DW,
-           _inv._COARSE_DPHI, _inv._FAST_MARGIN, _inv._COARSE_SPLITS,
-           _inv._TURBO_DW, _inv._TURBO_MARGIN)
+           _inv._COARSE_DPHI, _inv._FAST_MARGIN, _inv._COARSE_SPLITS)
     if key not in cache:
         cache[key] = _make_pallas_invert_fn(
             tables, dsig_co,
             interpret=mode.endswith("_interpret"),
             coarse="exact" not in mode,
-            turbo="fast" in mode,
             mesh=mesh,
         )
     fn = cache[key]

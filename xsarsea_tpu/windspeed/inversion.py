@@ -518,19 +518,15 @@ _FAST_MARGIN = 16
 # kernel rate is unchanged (7.49 vs 7.56 measured at equal configs), so
 # there is no reason to keep the 2-term approximation anywhere.
 _COARSE_SPLITS = 3
-# 'pallas_fast': cheapest coarse grid inside the <=1-wspd-step contract
-# — deviates on ~2e-5 of adversarial pixels (worst observed 0.6 m/s
-# copol / 0.1 dual on 4M random pixels). NOTE (round 4): the old turbo
-# knobs (dphi=2, margin=8) are strictly WORSE on the pack-2 fused
-# kernel: the packed lane layout stores row pairs (2r, 2r+1) so srow0
-# must stay 16-aligned, i.e. margin % 16 == 0 — margin 8 silently falls
-# back to the plain layout + rpi=8 and measured 8.2 vs 9.9 Mpx/s.
-# Re-swept 2026-08-20 (scripts/sweep_margin.py): every margin-8 config
-# lost to margin-16; the only remaining turbo lever is a coarser dw,
-# worth ~0.1% — kept for the API contract, not for speed.
-_TURBO_DW = 1.6
-_TURBO_DPHI = 4.0
-_TURBO_MARGIN = 16
+# 'pallas_fast' is RETIRED (round 5): an accuracy-relaxing mode must
+# buy speed or not exist. The round-4 re-sweep (scripts/sweep_margin.py)
+# found every relaxed config at or below the default's rate on the
+# pack-2 fused kernel — the old turbo knobs (dphi=2, margin=8) are
+# structurally slower (margin 8 breaks the 16-aligned packed loads and
+# falls back to the plain layout: 8.2 vs 9.9 Mpx/s), and the last
+# remaining lever (dw=1.6) measured 9.93 vs 9.92, i.e. noise — so the
+# mode now aliases to 'pallas' with a DeprecationWarning
+# (_normalize_mode) and always returns exact results.
 
 
 def _rebucket_slot(perm, gstar, band_of_block, *, n_inc, n_wgroups,
@@ -641,8 +637,27 @@ def _postprocess_vectorized(inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im,
     )
 
 
+def _normalize_mode(mode):
+    """Resolve deprecated mode aliases to their production equivalents.
+
+    ``pallas_fast`` (and ``pallas_fast_interpret``) relaxed the coarse
+    pass for speed; since the round-4 pack-2 fused kernel every relaxed
+    config measures at or below the default, so the alias now runs the
+    exact ``pallas`` pipeline (see the retirement note above
+    _COARSE_DW's sweep table).
+    """
+    if isinstance(mode, str) and mode.startswith("pallas_fast"):
+        warnings.warn(
+            "mode='pallas_fast' is deprecated and now runs the exact "
+            "'pallas' pipeline: the relaxed coarse configs are no faster "
+            "on the fused pack-2 kernel (see docs/DESIGN.md)",
+            DeprecationWarning, stacklevel=3)
+        return "pallas" + mode[len("pallas_fast"):]
+    return mode
+
+
 def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192,
-                           interpret=False, coarse=True, turbo=False,
+                           interpret=False, coarse=True,
                            mesh=None, data_axis="data"):
     """Pallas-accelerated inversion: bucketed matmul argmin kernel +
     slab-refine kernel + shared XLA postprocess.
@@ -671,16 +686,14 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
 
     block = DEFAULT_BLOCK
     if coarse:
-        dw = _TURBO_DW if turbo else _COARSE_DW
-        dphi = _TURBO_DPHI if turbo else _COARSE_DPHI
         step_w = float(np.median(np.diff(np.asarray(tables.co_wspd, np.float64))))
         step_p = float(np.median(np.diff(np.asarray(tables.co_phi, np.float64))))
         g4_dev, lut_shift, n_groups_g4, gsize = _build_g4_grouped(
             tables, float(dsig_co_val),
-            stride_w=max(1, round(dw / step_w)),
-            stride_p=max(1, round(dphi / step_p)),
+            stride_w=max(1, round(_COARSE_DW / step_w)),
+            stride_p=max(1, round(_COARSE_DPHI / step_p)),
             splits=_COARSE_SPLITS)
-        margin = _TURBO_MARGIN if turbo else _FAST_MARGIN
+        margin = _FAST_MARGIN
     else:
         g4_dev, lut_shift, n_groups_g4, gsize = _build_g4_grouped(
             tables, float(dsig_co_val), splits=3)
@@ -1045,6 +1058,7 @@ def _get_invert_fn(tables, chunk_size, mode="exact", dsig_co=0.1, spec=None):
     # lifetime is tied to the tables it was built from (an id()-keyed
     # global dict can hand a stale closure to a new object that reuses a
     # garbage-collected id).
+    mode = _normalize_mode(mode)
     cache = tables.__dict__.setdefault("_invert_fn_cache", {})
     if mode.startswith("pallas"):
         # the pallas path is unchunked (its postprocess is elementwise);
@@ -1052,8 +1066,7 @@ def _get_invert_fn(tables, chunk_size, mode="exact", dsig_co=0.1, spec=None):
         # module knobs join the key so mutating them (scripts/
         # sweep_margin.py pattern) is never served a stale closure.
         key = (mode, float(dsig_co), spec, _COARSE_DW, _COARSE_DPHI,
-               _FAST_MARGIN, _COARSE_SPLITS, _TURBO_DW, _TURBO_DPHI,
-               _TURBO_MARGIN)
+               _FAST_MARGIN, _COARSE_SPLITS)
     else:
         key = (chunk_size, mode, None, spec)
     if key not in cache:
@@ -1068,7 +1081,6 @@ def _get_invert_fn(tables, chunk_size, mode="exact", dsig_co=0.1, spec=None):
                 tables, dsig_co, chunk_size,
                 interpret=mode.endswith("_interpret"),
                 coarse="exact" not in mode,
-                turbo="fast" in mode,
             )
         else:
             raise ValueError(f"unknown inversion mode '{mode}'")
@@ -1384,13 +1396,12 @@ def invert_pixels(tables: InversionTables, inc, s0_co_db, s0_cr_db, dsig_cr,
     kernels: coarse expanded-form pass + direct-form slab refine +
     bucketed crosspol argmin; 0 deviations vs the full-grid pass on the
     4M-adversarial-pixel sweep — see the table above _COARSE_DW),
-    'pallas_fast' (coarser first pass, deviates on ~2e-5 of pixels by
-    at most one wspd step; no faster than 'pallas' since the round-4
-    fused kernel — see the note above _TURBO_DW),
     'pallas_exact' (full-grid
     expanded-form pass + slab refine), '*_interpret' variants (kernels
     in interpreter mode, for CPU testing), or 'auto' (pallas on TPU when
-    a copol table is present, exact elsewhere).
+    a copol table is present, exact elsewhere). 'pallas_fast' is a
+    deprecated alias of 'pallas' (the relaxed coarse configs stopped
+    being faster with the round-4 fused pack-2 kernel).
     """
     np_dtype = np.dtype(jnp.dtype(tables.dtype).name)
     source = _PreparedSource(np_dtype, inc, s0_co_db, s0_cr_db, dsig_cr,
