@@ -275,3 +275,66 @@ def test_sharded_streaks_fn_cached():
     mesh = make_mesh(n_data=2, n_model=1)
     assert _get_fn(40, mesh) is _get_fn(40, mesh)
     assert _get_fn(40, mesh) is not _get_fn(20, mesh)
+
+
+def test_invert_scenes_streams_lazy_scenes(tables):
+    """invert_scenes never materializes a whole scene on host (VERDICT
+    r4 #3): lazy duck-array scene members are sliced in O(piece) pieces
+    through the mesh path, with multi-piece streaming and a padded tail,
+    and the result matches the eager batch."""
+    from test_streaming import LazyRows
+
+    from xsarsea_tpu.parallel import invert_scenes
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    eager, lazy = [], []
+    for seed, (h, w) in enumerate([(40, 50), (30, 44)]):
+        inc, s0_co, s0_cr, dsig_cr, anc = (
+            a.reshape(h, w) for a in make_pixels(h * w, seed=seed))
+        eager.append(dict(inc=inc, sigma0_co_db=s0_co, sigma0_cr_db=s0_cr,
+                          dsig_cr=dsig_cr, ancillary_wind=anc))
+        lazy.append(dict(
+            inc=LazyRows(lambda a, b, x=inc: x[a:b], inc.shape),
+            sigma0_co_db=LazyRows(lambda a, b, x=s0_co: x[a:b], s0_co.shape),
+            sigma0_cr_db=LazyRows(lambda a, b, x=s0_cr: x[a:b], s0_cr.shape),
+            dsig_cr=0.25,  # scalar: broadcast per piece, never O(scene)
+            ancillary_wind=LazyRows(lambda a, b, x=anc: x[a:b], anc.shape,
+                                    dtype=np.complex128),
+        ))
+        eager[-1]["dsig_cr"] = np.full((h, w), 0.25)
+
+    piece = 1024  # 3320 px total -> 4 pieces, the last spanning a boundary
+    ref = invert_scenes(tables, eager, mesh, chunk_size=64)
+    got = invert_scenes(tables, lazy, mesh, chunk_size=64, piece_size=piece)
+
+    for (co_r, dual_r), (co_g, dual_g) in zip(ref, got):
+        np.testing.assert_array_equal(co_g, co_r)
+        np.testing.assert_array_equal(dual_g, dual_r)
+
+    # no scene member was ever materialized beyond one piece (+ partial
+    # rows at both ends of the flat range)
+    for scene, (h, w) in zip(lazy, [(40, 50), (30, 44)]):
+        for name, arr in scene.items():
+            if isinstance(arr, LazyRows):
+                assert 0 < arr.max_request <= piece + 2 * w, (
+                    f"{name}: materialized {arr.max_request} at once")
+
+
+def test_invert_scenes_single_device_streamed(tables):
+    """mesh=None routes through the single-device streamed source path
+    and matches the mesh path bit-for-bit (mode='exact' both sides)."""
+    from xsarsea_tpu.parallel import invert_scenes
+
+    scenes = []
+    for seed, (h, w) in enumerate([(18, 22), (12, 31)]):
+        inc, s0_co, s0_cr, dsig_cr, anc = (
+            a.reshape(h, w) for a in make_pixels(h * w, seed=seed))
+        scenes.append(dict(inc=inc, sigma0_co_db=s0_co, sigma0_cr_db=s0_cr,
+                           dsig_cr=dsig_cr, ancillary_wind=anc))
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    ref = invert_scenes(tables, scenes, mesh, chunk_size=64, mode="exact")
+    got = invert_scenes(tables, scenes, None, chunk_size=64, mode="exact")
+    for (co_r, dual_r), (co_g, dual_g) in zip(ref, got):
+        np.testing.assert_array_equal(co_g, co_r)
+        np.testing.assert_array_equal(dual_g, dual_r)
