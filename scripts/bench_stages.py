@@ -205,16 +205,18 @@ def main():
                             s0co, s0cr, dsig_cr, anc_re, anc_im)
 
     # --- stage 3: inverse-permutation gather back to pixel order (the
-    # production tail: ONE i32 scatter + ONE packed row gather — a packed
-    # row SCATTER measures 84 ns/px on TPU, the gather 3.7)
+    # production tail: sort-based inverse — sorting (pixel-id, slot)
+    # measures 3.8 ns/px vs 9.8 for the equivalent random i32 scatter —
+    # then ONE packed row gather; a packed row SCATTER measures 84)
     @jax.jit
     def s3_unscatter(perm2, vals_r):
         valid2 = perm2 >= 0
         v4 = vals_r.transpose(0, 2, 1).reshape(-1, 4)
-        inv2 = jnp.zeros((N,), jnp.int32).at[
-            jnp.where(valid2, perm2, N)
-        ].set(jnp.arange(v4.shape[0], dtype=jnp.int32), mode="drop")
-        return v4[inv2]
+        key = jnp.where(valid2, perm2, jnp.int32(N))
+        _, slot_of_pix = jax.lax.sort(
+            (key, jnp.arange(v4.shape[0], dtype=jnp.int32)),
+            is_stable=False, num_keys=1)
+        return v4[slot_of_pix[:N]]
 
     (vals,), t_k3 = timed("3  inverse-perm gather to pixel order",
                           lambda *a: (s3_unscatter(*a),), perm2, vals_r)

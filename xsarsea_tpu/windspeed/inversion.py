@@ -874,15 +874,19 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
             ).transpose(0, 2, 1).reshape(-1, 4)
             # pixel order via inverse-permutation GATHER, not scatter: on
             # TPU a packed (n, 4) row scatter measures 84 ns/px while the
-            # same row gather is 3.7 — so spend ONE cheap i32 scatter on
-            # inverting the bucketing permutation and fetch all four
-            # streams with a single packed row gather (transpose of the
-            # kernel's (nb, 4, block) output is ~1 ns/px)
+            # same row gather is 13.5 — and the permutation INVERSE comes
+            # from a sort, not a scatter: sorting (pixel-id key, slot
+            # payload) measures 3.8 ns/px vs 9.8 for the equivalent
+            # random scatter (the bitonic network has locality; a random
+            # scatter hits HBM random-access). Valid entries hold each
+            # pixel id exactly once; sentinel keys (n) sort past them and
+            # are sliced off, so slots_sorted[:n][p] IS pixel p's slot.
             slots = vals_r.shape[0]
-            inv2 = jnp.zeros((n,), jnp.int32).at[
-                jnp.where(valid2, perm2, n)
-            ].set(jnp.arange(slots, dtype=jnp.int32), mode="drop")
-            vals = vals_r[inv2]
+            key = jnp.where(valid2, perm2, jnp.int32(n))
+            _, slot_of_pix = lax.sort(
+                (key, jnp.arange(slots, dtype=jnp.int32)),
+                is_stable=False, num_keys=1)
+            vals = vals_r[slot_of_pix[:n]]
             wspd_co_raw = vals[:, 0]
             phir_sol = vals[:, 1]
             # same input bits as the decode table's cos/sin entries
