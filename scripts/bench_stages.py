@@ -118,14 +118,20 @@ def main():
           f"g4 {g4_dev.nbytes / 1e6:.0f} MB | lut_pad {lut_pad.nbytes / 1e6:.0f} MB | "
           f"slab_rows {slab_rows}")
 
-    # --- stage 1a: incidence bucketing
+    # --- stage 1a: fused nearest+bucket (production path: the nearest
+    # lookup folds into the bucket sort via exact band boundaries)
+    from xsarsea_tpu.ops.pallas_inversion import (_f32_sort_key_np,
+                                                  band_boundaries_f32,
+                                                  bucket_by_value)
+
+    bkeys = jnp.asarray(_f32_sort_key_np(
+        band_boundaries_f32(np.asarray(tables.co_inc, np.float32))))
+
     @jax.jit
     def s1_bucket(inc):
-        i_inc = nearest_index_sorted(co_inc, inc)
-        perm, band_of_block = bucket_by_band(i_inc, n_bands=n_inc, block=block)
-        return i_inc, perm, band_of_block
+        return bucket_by_value(inc, bkeys, n_bands=n_inc, block=block)
 
-    (i_inc, perm, band_of_block), t_b1 = timed("1a bucket by incidence", s1_bucket, inc)
+    (perm, band_of_block), t_b1 = timed("1a bucket by incidence", s1_bucket, inc)
 
     # --- stage 1b: feature build + gather into bucket order (+ slot-space
     # per-band centering, same as the production pipeline)
@@ -204,19 +210,18 @@ def main():
                             cr_pad, cr_whalf, perm2, key_of_block,
                             s0co, s0cr, dsig_cr, anc_re, anc_im)
 
-    # --- stage 3: inverse-permutation gather back to pixel order (the
-    # production tail: sort-based inverse — sorting (pixel-id, slot)
-    # measures 3.8 ns/px vs 9.8 for the equivalent random i32 scatter —
-    # then ONE packed row gather; a packed row SCATTER measures 84)
+    # --- stage 3: pixel order WITHOUT any scatter/gather (production
+    # tail): one sort keyed by pixel id CARRIES the kernel's result
+    # channels as f32 payloads — 6.5 ns/px vs 16.0 for sort+row-gather
+    # and ~10 for the old random i32 scatter alone
     @jax.jit
     def s3_unscatter(perm2, vals_r):
         valid2 = perm2 >= 0
-        v4 = vals_r.transpose(0, 2, 1).reshape(-1, 4)
         key = jnp.where(valid2, perm2, jnp.int32(N))
-        _, slot_of_pix = jax.lax.sort(
-            (key, jnp.arange(v4.shape[0], dtype=jnp.int32)),
-            is_stable=False, num_keys=1)
-        return v4[slot_of_pix[:N]]
+        _, w, p, d = jax.lax.sort(
+            (key, vals_r[:, 0, :].reshape(-1), vals_r[:, 1, :].reshape(-1),
+             vals_r[:, 2, :].reshape(-1)), is_stable=False, num_keys=1)
+        return jnp.stack([w[:N], p[:N], d[:N]], axis=1)
 
     (vals,), t_k3 = timed("3  inverse-perm gather to pixel order",
                           lambda *a: (s3_unscatter(*a),), perm2, vals_r)

@@ -42,6 +42,8 @@ __all__ = [
     "build_crosspol_arrays",
     "build_decode_arrays",
     "bucket_by_band",
+    "bucket_by_value",
+    "band_boundaries_f32",
     "near_uniform_fit",
     "nearest_index_sorted",
     "nearest_index_near_uniform",
@@ -249,29 +251,118 @@ def bucket_by_band(band, n_bands, block=DEFAULT_BLOCK, values=None):
     # are no sentinels), so sentinel entries never count into any band.
     lb_ext = jnp.searchsorted(
         ks, jnp.arange(n_bands + 1, dtype=jnp.int32)).astype(jnp.int32)
+    # dest[i] = pad_offsets[b_i] + (i - lb[b_i]) for the i-th sorted
+    # pixel, spread by telescoped sparse-add + cumsum; see
+    # _assemble_buckets (shared with bucket_by_value).
+    return _assemble_buckets(lb_ext, order, n, n_bands, block)
+
+
+def band_boundaries_f32(grid_np):
+    """Exact f32 decision boundaries of the nearest-index rule.
+
+    ``t[b-1]`` (b = 1..n-1) is the SMALLEST f32 value whose exact nearest
+    index is ``b`` under the shared rule (first minimum of ``|g[k] - v|``
+    evaluated in f32 — the same quantities ``nearest_index_sorted`` /
+    ``nearest_index_near_uniform`` and the exact path's argmin compute).
+    Found per adjacent pair by bit-level binary search on the monotone
+    predicate ``|g[b] - v| < |g[b-1] - v|`` (f32 subtraction is monotone,
+    so the flip point is unique). Requires a strictly ascending grid
+    whose values are all finite and non-negative in f32.
+    """
+    g = np.asarray(grid_np, np.float32)
+    if g.ndim != 1 or g.shape[0] < 2 or not np.all(np.diff(g) > 0) \
+            or not np.all(np.isfinite(g)) or g[0] < 0:
+        return None
+    out = np.empty(g.shape[0] - 1, np.float32)
+    for b in range(1, g.shape[0]):
+        glo, ghi = g[b - 1], g[b]
+
+        def in_b(v):
+            v = np.float32(v)
+            return np.float32(np.abs(ghi - v)) < np.float32(np.abs(glo - v))
+
+        ilo = int(glo.view(np.int32))  # predicate False here
+        ihi = int(ghi.view(np.int32))  # predicate True here
+        if in_b(glo) or not in_b(ghi):  # degenerate grid spacing
+            return None
+        while ihi - ilo > 1:  # positive f32: bit order == value order
+            imid = (ilo + ihi) // 2  # python ints: no i32 overflow
+            if in_b(np.int64(imid).astype(np.int32).view(np.float32)):
+                ihi = imid
+            else:
+                ilo = imid
+        out[b - 1] = np.int64(ihi).astype(np.int32).view(np.float32)
+    return out
+
+
+def _f32_sort_key_np(v):
+    """numpy twin of the in-graph monotone f32->u32 key transform."""
+    v = np.asarray(v, np.float32)
+    bits = v.view(np.uint32)
+    key = np.where(bits >> 31 == 1, ~bits, bits | np.uint32(0x80000000))
+    # +-inf -> band 0 (every |g[k] - inf| is inf: first-min picks 0);
+    # NaN -> max key (last band; outputs NaN-guarded downstream)
+    key = np.where(np.isinf(v), np.uint32(0), key)
+    return np.where(np.isnan(v), np.uint32(0xFFFFFFFF), key)
+
+
+@partial(jax.jit, static_argnames=("n_bands", "block"))
+def bucket_by_value(values_f32, boundary_keys, n_bands, block=DEFAULT_BLOCK):
+    """Group pixels into nearest-grid-index buckets WITHOUT computing the
+    per-pixel index: the nearest lookup fuses into the bucket sort.
+
+    Pixels sort by a monotone u32 transform of their f32 value (IEEE
+    positive floats are bit-ordered; negatives flip; NaN -> max key, so
+    NaN pixels land in the last band where their outputs are discarded
+    by the NaN guards — the gather-based path's band-0 placement was
+    equally arbitrary). Per-band segment bounds then come from
+    ``searchsorted`` of the 501-ish precomputed boundary keys
+    (:func:`band_boundaries_f32` + the same u32 transform) into the
+    sorted keys — O(n_bands log n) instead of the per-pixel packed
+    neighbour-table gather (measured ~4 ns/px at 8.4 Mpx) the separate
+    nearest pass cost. Band assignment is bit-identical to
+    ``nearest_index_sorted`` for every non-NaN value by construction of
+    the boundaries.
+
+    Returns ``(perm, band_of_block)`` exactly like :func:`bucket_by_band`.
+    """
+    n = values_f32.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    bits = lax.bitcast_convert_type(values_f32, jnp.uint32)
+    key = jnp.where(bits >> 31 == 1, ~bits, bits | jnp.uint32(0x80000000))
+    # +-inf -> band 0 (matches nearest's first-min over all-inf
+    # distances); NaN -> max key (last band; NaN-guarded downstream)
+    key = jnp.where(jnp.isinf(values_f32), jnp.uint32(0), key)
+    key = jnp.where(jnp.isnan(values_f32), jnp.uint32(0xFFFFFFFF), key)
+    ks, order = lax.sort((key, iota), is_stable=False, num_keys=1)
+    lb_ext = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.searchsorted(ks, boundary_keys).astype(jnp.int32),
+        jnp.full((1,), n, jnp.int32),
+    ])
+    return _assemble_buckets(lb_ext, order, n, n_bands, block)
+
+
+def _assemble_buckets(lb_ext, order, n, n_bands, block):
+    """Shared bucket assembly from per-band segment bounds (see
+    bucket_by_band's cost note): counts -> padded offsets -> telescoped
+    destination slots -> one monotone scatter."""
+    iota = jnp.arange(n, dtype=jnp.int32)
     lb = lb_ext[:-1]
     counts = jnp.diff(lb_ext)
     pad_counts = ((counts + block - 1) // block) * block
     pad_offsets = (jnp.cumsum(pad_counts) - pad_counts).astype(jnp.int32)
 
-    # dest[i] = pad_offsets[b_i] + (i - lb[b_i]) for the i-th sorted pixel.
-    # delta = pad_offsets - lb is constant within a band; spread it to
-    # pixel slots by adding its per-band increment at each segment start
-    # and prefix-summing (duplicate starts from empty bands telescope).
     delta = pad_offsets - lb
     ddelta = jnp.diff(delta, prepend=jnp.int32(0))
     sparse = jnp.zeros((n,), jnp.int32).at[lb].add(ddelta, mode="drop")
     dest = iota + jnp.cumsum(sparse)
 
-    # static upper bound on packed size, rounded to whole blocks
     n_padded = ((n + block - 1) // block + n_bands) * block
     perm = jnp.full((n_padded,), -1, dtype=jnp.int32).at[dest].set(
         order, mode="drop", unique_indices=True
     )
 
-    # band_of_block by the same telescoping over block starts: band b
-    # occupies blocks [pad_offsets[b]/block, ...); empty bands add twice
-    # at the same start and are skipped.
     n_blocks = n_padded // block
     starts = pad_offsets // block
     inc = jnp.ones((n_bands,), jnp.int32).at[0].set(0)

@@ -675,7 +675,9 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         SLAB_BLOCK,
         SLAB_MARGIN,
         WGROUP,
+        band_boundaries_f32,
         bucket_by_band,
+        bucket_by_value,
         build_crosspol_arrays,
         build_direct_arrays,
         copol_group_argmin_pallas,
@@ -728,6 +730,16 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         return lambda values: nearest_index_sorted(grid, values)
 
     nearest_inc = _make_nearest(tables.co_inc)
+    # fused nearest+bucket (bucket_by_value): the per-pixel nearest-index
+    # pass (a packed neighbour-table row gather, ~4 ns/px at 8.4 Mpx)
+    # folds into the bucket sort via exact precomputed band boundaries —
+    # bit-identical band assignment for every non-NaN pixel
+    _inc_bounds = band_boundaries_f32(np.asarray(tables.co_inc, np.float32))
+    inc_boundary_keys = None
+    if _inc_bounds is not None:
+        from xsarsea_tpu.ops.pallas_inversion import _f32_sort_key_np
+
+        inc_boundary_keys = jnp.asarray(_f32_sort_key_np(_inc_bounds))
 
     # crosspol: bucketed 1-D argmin kernel operands
     if tables.has_cr:
@@ -799,8 +811,13 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
         inv_dsig, shift_vec = scal[0], scal[1:]
 
         # --- stage 1: bucket by incidence band, expanded-form group argmin
-        i_inc = nearest_inc(inc)
-        perm, band_of_block = bucket_by_band(i_inc, n_bands=n_inc, block=block)
+        if inc_boundary_keys is not None and inc.dtype == jnp.float32:
+            perm, band_of_block = bucket_by_value(
+                inc, inc_boundary_keys, n_bands=n_inc, block=block)
+        else:
+            i_inc = nearest_inc(inc)
+            perm, band_of_block = bucket_by_band(i_inc, n_bands=n_inc,
+                                                 block=block)
         valid = perm >= 0
         pidx = jnp.clip(perm, 0)
 
@@ -865,35 +882,36 @@ def _make_pallas_invert_fn(tables: InversionTables, dsig_co_val, chunk_size=8192
                 axis=1,
             )
             feats2 = jnp.where(valid2[:, None], pix2[pidx2], jnp.nan)
-            vals_r = slab_refine_fused_pallas(
+            vals_nb = slab_refine_fused_pallas(
                 lut_pad, u_pad, v_pad, w_half, phi_row, cr_pad, cr_whalf,
                 feats2, sband, srow0, n_phi, block=SLAB_BLOCK,
                 n_rows=slab_rows, has_cr=tables.has_cr, interpret=interpret,
                 valid_mask=vmask2.astype(jnp.int32), lane_off=lane_off,
                 rows_per_iter=slab_rpi,
-            ).transpose(0, 2, 1).reshape(-1, 4)
-            # pixel order via inverse-permutation GATHER, not scatter: on
-            # TPU a packed (n, 4) row scatter measures 84 ns/px while the
-            # same row gather is 13.5 — and the permutation INVERSE comes
-            # from a sort, not a scatter: sorting (pixel-id key, slot
-            # payload) measures 3.8 ns/px vs 9.8 for the equivalent
-            # random scatter (the bitonic network has locality; a random
-            # scatter hits HBM random-access). Valid entries hold each
-            # pixel id exactly once; sentinel keys (n) sort past them and
-            # are sliced off, so slots_sorted[:n][p] IS pixel p's slot.
-            slots = vals_r.shape[0]
+            )
+            # pixel order WITHOUT any scatter or gather: one sort keyed
+            # by pixel id CARRIES the kernel's result channels as f32
+            # payloads (sorting is a pure permutation — every payload
+            # bit is preserved). Measured 6.5 ns/px vs 16.0 for the
+            # sort+row-gather tail and ~10 ns/px for the old random i32
+            # scatter alone — random HBM access is what kills the
+            # alternatives; the bitonic network has locality. Valid
+            # entries hold each pixel id exactly once; sentinel keys (n)
+            # sort past them and are sliced off.
             key = jnp.where(valid2, perm2, jnp.int32(n))
-            _, slot_of_pix = lax.sort(
-                (key, jnp.arange(slots, dtype=jnp.int32)),
-                is_stable=False, num_keys=1)
-            vals = vals_r[slot_of_pix[:n]]
-            wspd_co_raw = vals[:, 0]
-            phir_sol = vals[:, 1]
+            payloads = (vals_nb[:, 0, :].reshape(-1),
+                        vals_nb[:, 1, :].reshape(-1))
+            if tables.has_cr:
+                payloads += (vals_nb[:, 2, :].reshape(-1),)
+            sorted_arrs = lax.sort((key,) + payloads, is_stable=False,
+                                   num_keys=1)
+            wspd_co_raw = sorted_arrs[1][:n]
+            phir_sol = sorted_arrs[2][:n]
             # same input bits as the decode table's cos/sin entries
             # (phi_sol IS the table value), so bit-identical results
             cos_p = jnp.cos(phir_sol)
             sin_p = jnp.sin(phir_sol)
-            wspd_dual = vals[:, 2] if tables.has_cr else None
+            wspd_dual = sorted_arrs[3][:n] if tables.has_cr else None
             return _postprocess_vectorized(
                 inc, s0_co_db, s0_cr_db, dsig_cr, anc_re, anc_im,
                 wspd_co_raw, cos_p, sin_p, phir_sol, wspd_dual,
