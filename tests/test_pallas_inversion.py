@@ -499,6 +499,135 @@ def test_pack2_slab_layout_bit_equal():
     np.testing.assert_array_equal(np.asarray(flat_u), np.asarray(flat_p))
 
 
+def test_random_scene_flips_are_near_ties():
+    """The parity boundary of mode='pallas' (README): the coarse
+    expanded-form MXU pass carries ~1e-2 of absolute f32 rounding and
+    the slab refine re-searches only ±SLAB_MARGIN wspd rows around its
+    winner, so a pixel whose exact cost surface holds a COMPETING
+    minimum further away with a gap under that rounding can return the
+    near-tie candidate instead of the exact argmin. This happens only
+    for sigma0 off the GMF manifold (reference boundary: the numba
+    kernel windspeed.py:183-282 computes direct-form cost everywhere,
+    so it has no such regime — but it also has no 500x-faster mode).
+
+    This test pins the invariant that makes the mode safe: EVERY
+    flipped pixel's returned wspd row is NEAR-OPTIMAL in the exact
+    direct-form f32 cost — a flip picks between statistically
+    indistinguishable answers, never a wrong basin. Two populations:
+
+    - 16Ki uniformly random out-of-manifold pixels (flip rate must stay
+      under 1%; observed ~0.03%, all 1-row ulp ties);
+    - synthesized adversarial pixels sitting ON a basin boundary: s0 is
+      bisected to the f32 tie point of two per-row minima >= 24 wspd
+      rows apart that jointly hold the global minimum (found by
+      scanning s0 for jumps in the global argmin row), i.e. the exact
+      regime the slab margin cannot recover.
+
+    Uses a 51-band incidence grid (interpret-mode cost is band-count
+    dominated) at full 0.1 m/s wspd resolution.
+    """
+    from xsarsea_tpu.windspeed.inversion import prepare_tables
+
+    tables = prepare_tables("gmf_cmod5n", "gmf_s1_v2", dtype=jnp.float32,
+                            inc_step=1.0)
+    lut = np.asarray(tables.co_lut, np.float32)    # (I, W, P)
+    U = np.asarray(tables.co_u, np.float32)        # (W, P)
+    V = np.asarray(tables.co_v, np.float32)
+    ginc = np.asarray(tables.co_inc, np.float32)
+    gw = np.asarray(tables.co_wspd, np.float32)
+    dsig = np.float32(0.1)                          # invert_pixels default
+
+    def rowmin(jw, L, r, s):
+        return float(np.min(jw[r] + ((L[r] - np.float32(s)) / dsig) ** 2))
+
+    # --- population 2: basin-boundary pixels
+    rng = np.random.default_rng(3)
+    adv = []       # (band, s0_db, ma, mz, r1, r2)
+    for _ in range(60):
+        ii = int(rng.integers(0, lut.shape[0]))
+        spd = rng.uniform(3, 15)
+        ang = rng.uniform(-np.pi, np.pi)
+        ma = np.float32(spd * np.cos(ang))
+        mz = np.float32(abs(spd * np.sin(ang)))    # positive: == |mz|
+        jw = ((U - ma) / np.float32(2)) ** 2 + ((V - mz) / np.float32(2)) ** 2
+        L = lut[ii]
+        svals = np.linspace(-42.0, 2.0, 221, dtype=np.float32)
+        js = jw[:, :, None] + ((L[:, :, None] - svals[None, None, :])
+                               / dsig) ** 2
+        rows = js.min(axis=1).argmin(axis=0)       # global argmin row per s
+        jumps = np.nonzero(np.abs(np.diff(rows.astype(int))) >= 24)[0]
+        for k in jumps[:1]:
+            lo, hi = float(svals[k]), float(svals[k + 1])
+            r1, r2 = int(rows[k]), int(rows[k + 1])
+            f = lambda s: rowmin(jw, L, r1, s) - rowmin(jw, L, r2, s)
+            flo = f(lo)
+            for _ in range(60):
+                mid = (lo + hi) / 2
+                if (f(mid) > 0) == (flo > 0):
+                    lo = mid
+                else:
+                    hi = mid
+            s = np.float32((lo + hi) / 2)
+            if abs(rowmin(jw, L, r1, s) - rowmin(jw, L, r2, s)) <= 2e-3:
+                adv.append((ii, float(s), float(ma), float(mz), r1, r2))
+    assert len(adv) >= 4  # the generator must actually produce the regime
+
+    # --- population 1: random out-of-manifold scene
+    n = 1 << 14
+    inc = rng.uniform(17.0, 49.0, n).astype(np.float32)
+    s0co = rng.uniform(-40.0, 0.0, n).astype(np.float32)
+    s0cr = rng.uniform(-45.0, -15.0, n).astype(np.float32)
+    anc = (rng.uniform(2, 18, n) * np.exp(
+        1j * rng.uniform(-np.pi, np.pi, n))).astype(np.complex64)
+
+    n_adv = len(adv)
+    inc = np.concatenate([inc, [ginc[a[0]] for a in adv]]).astype(np.float32)
+    s0co = np.concatenate([s0co, [a[1] for a in adv]]).astype(np.float32)
+    s0cr = np.concatenate([s0cr, np.full(n_adv, -30.0)]).astype(np.float32)
+    anc = np.concatenate([anc, [complex(a[2], a[3]) for a in adv]]
+                         ).astype(np.complex64)
+    dsig_cr = np.full(n + n_adv, 0.1, np.float32)
+
+    co_e, _ = invert_pixels(tables, inc, s0co, s0cr, dsig_cr, anc,
+                            mode="exact")
+    co_p, _ = invert_pixels(tables, inc, s0co, s0cr, dsig_cr, anc,
+                            mode="pallas_interpret")
+    sp_e = np.abs(np.asarray(co_e))
+    sp_p = np.abs(np.asarray(co_p))
+    assert not np.isnan(sp_e).any() and not np.isnan(sp_p).any()
+
+    flips = np.abs(sp_e - sp_p) > 1e-3
+    assert flips[:n].mean() < 0.01  # random-scene flip rate stays rare
+
+    # near-optimality of EVERY flip (both modes' answers)
+    for i in np.nonzero(flips)[0]:
+        ii = int(np.abs(ginc - inc[i]).argmin())
+        ma = np.float32(anc[i].real)
+        mz = np.float32(abs(anc[i].imag)) if tables.phi_180 \
+            else np.float32(anc[i].imag)
+        jw = ((U - ma) / np.float32(2)) ** 2 + ((V - mz) / np.float32(2)) ** 2
+        L = lut[ii]
+        jmin = float(np.min(jw + ((L - s0co[i]) / dsig) ** 2))
+        for sp in (sp_e[i], sp_p[i]):
+            r = int(np.abs(gw - sp).argmin())
+            gap = rowmin(jw, L, r, s0co[i]) - jmin
+            assert gap <= max(5e-3, 2e-3 * jmin), (i, sp, gap, jmin)
+
+    # every adversarial pixel's answer (flipped or not) must be
+    # near-optimal too — note a third row between the two tied basins
+    # can also sit within the tie band and is an equally valid answer
+    for k, (ii, s, ma, mz, r1, r2) in enumerate(adv):
+        i = n + k
+        jw = ((U - np.float32(ma)) / np.float32(2)) ** 2 \
+            + ((V - np.float32(mz)) / np.float32(2)) ** 2
+        L = lut[ii]
+        jmin = float(np.min(jw + ((L - np.float32(s)) / dsig) ** 2))
+        for sp in (sp_e[i], sp_p[i]):
+            r = int(np.abs(gw - sp).argmin())
+            gap = rowmin(jw, L, r, s) - jmin
+            assert gap <= max(5e-3, 2e-3 * jmin), (k, r, r1, r2, gap, jmin)
+
+
 def test_bucket_by_value_matches_nearest_index():
     """bucket_by_value's band assignment is bit-identical to
     nearest_index_sorted for every non-NaN value — including values
