@@ -1,10 +1,12 @@
 """Per-stage budget of the streaks histogram core (BASELINE config #4).
 
 Decomposes ``streaks_histogram_core`` — R2 cascade, Scharr local
-gradients, window extraction, masked median sort, scatter-add histogram
-— into separately jitted stages and times each with the bench's honest
-data-dependent drain. The stage sum exceeds the fused pipeline (XLA
-fuses across these boundaries); the ranking is what matters.
+gradients, stacked window extraction, masked median sort, one-hot
+broadcast-reduce histogram — into separately jitted stages and times
+each with the bench's honest data-dependent drain. The stage sum
+exceeds the fused pipeline (XLA fuses across these boundaries); the
+ranking is what matters. The retired forms (per-channel extraction,
+scatter-add histogram) are timed alongside for the record.
 
 Run from the repo root: ``python scripts/bench_streaks_stages.py``.
 """
@@ -75,20 +77,28 @@ def main():
     slg = jax.jit(_streaks_lg)
     timeit("A+B _streaks_lg fused", slg, img_d, px=px)
 
-    # stage C: window extraction (3 arrays)
+    # stage C: stacked window extraction (production: all 3 channels on
+    # one (3, w, w) slice per window)
     def wins(a, b, q):
+        w3 = _extract_windows(jnp.stack([a, b, q]), cl, cl, win, win)
+        return w3[:, 0, :], w3[:, 1, :], w3[:, 2, :]
+
+    wjit = jax.jit(wins)
+    aw, gw, qw = timeit("C  _extract_windows stacked x3", wjit, g2_abs,
+                        g2_angle, c, px=px)
+
+    # retired form: three per-channel extraction passes
+    def wins_sep(a, b, q):
         pad = win
         return (_extract_windows(a, cl, cl, pad, win),
                 _extract_windows(b, cl, cl, pad, win),
                 _extract_windows(q, cl, cl, pad, win))
+    timeit("C' per-channel extraction x3 (retired)", jax.jit(wins_sep),
+           g2_abs, g2_angle, c, px=px)
 
-    wjit = jax.jit(wins)
-    aw, gw, qw = timeit("C  _extract_windows x3", wjit, g2_abs, g2_angle,
-                        c, px=px)
-
-    # stage D: histogram (median sort + scatter-add)
+    # stage D: histogram (median sort + one-hot broadcast-reduce)
     hjit = jax.jit(lambda a, b, q: _histogram_windows(a, b, q, bins_d))
-    timeit("D  _histogram_windows (sort+scatter)", hjit, aw, gw, qw, px=px)
+    timeit("D  _histogram_windows (sort+reduce)", hjit, aw, gw, qw, px=px)
 
     # D split: the masked median sort alone
     sjit = jax.jit(lambda a: jnp.sort(
@@ -116,7 +126,19 @@ def main():
     timeit("D2 histogram w/ mean stand-in (no sort)",
            jax.jit(hist_nosort), aw, gw, qw, px=px)
 
-    # D split: scatter-add alone
+    # D split: broadcast-reduce alone (production histogram form)
+    def bred(b, q):
+        n_angles = bins_d.shape[0]
+        k = jnp.round((b - bins_d[0]) / (bins_d[1] - bins_d[0]))
+        ki = jnp.clip(k, 0, n_angles - 1).astype(jnp.int32)
+        wm = jnp.where(jnp.isnan(q), 0.0, q)
+        oh = ki[:, :, None] == jnp.arange(n_angles, dtype=jnp.int32)
+        return jnp.sum(jnp.where(oh, wm[:, :, None],
+                                 jnp.zeros_like(wm)[..., None]), axis=1)
+    timeit("D3 one-hot broadcast-reduce alone", jax.jit(bred), gw, qw,
+           px=px)
+
+    # retired form: flat scatter-add (TPU scatters ~10 ns/element)
     def scat(b, q):
         n_angles = bins_d.shape[0]
         nwin = b.shape[0]
@@ -127,7 +149,7 @@ def main():
                     + ki).reshape(-1)
         return jnp.zeros((nwin * n_angles,), wm.dtype).at[flat_idx].add(
             wm.reshape(-1))
-    timeit("D3 scatter-add alone", jax.jit(scat), gw, qw, px=px)
+    timeit("D3' scatter-add (retired)", jax.jit(scat), gw, qw, px=px)
 
     # D alt: one-hot matmul histogram (MXU) instead of scatter-add
     def onehot_hist(b, q):
