@@ -134,6 +134,24 @@ def test_extract_windows_anchoring():
     assert np.isnan(wins0[0]).sum() == w * w - 2 * 2
 
 
+def test_extract_windows_batched_matches_unbatched():
+    """The stacked (C, H, W) fast path must produce exactly the windows
+    the per-channel path produces — including NaN masks at clipped
+    border windows and the clamped-slab layout."""
+    rng = np.random.default_rng(4)
+    chans = [rng.normal(size=(33, 41)).astype(np.float32) for _ in range(3)]
+    chans[0][5:9, 7:12] = np.nan  # NaNs in the data itself survive
+    cl = jnp.asarray(np.array([0, 7, 16, 30], dtype=np.int32))
+    cs = jnp.asarray(np.array([2, 20, 40], dtype=np.int32))
+    for w in (6, 7, 50):  # even, odd, larger-than-grid
+        batched = np.asarray(_extract_windows(
+            jnp.asarray(np.stack(chans)), cl, cs, w, w))
+        for k, ch in enumerate(chans):
+            single = np.asarray(_extract_windows(jnp.asarray(ch), cl, cs,
+                                                 w, w))
+            np.testing.assert_array_equal(batched[:, k, :], single)
+
+
 def test_gradients2d_end_to_end():
     img = streak_image(400, 400, angle_deg=25.0)
     g = Gradients2D(img, window_size=100, window_step=1)
