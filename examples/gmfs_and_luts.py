@@ -49,10 +49,21 @@ def main():
         demo.to_netcdf(path)
         register_nc_luts(d)
         reloaded = get_model("nc_lut_gmf_demo_vh")
-        a = np.asarray(reloaded.to_lut(units="linear").data)
-        b = np.asarray(demo.to_lut(units="linear").data)
-        print("netCDF round-trip max |rel err|:",
+        # like-for-like: compare at the STORED grid — a true round-trip
+        # (only the dB<->linear conversion rounds)
+        a = np.asarray(reloaded.to_lut(units="linear",
+                                       resolution="low").data)
+        b = np.asarray(demo.to_lut(units="linear", resolution="low").data)
+        print("netCDF round-trip (stored grid) max |rel err|:",
               float(np.nanmax(np.abs(a - b) / np.abs(b))))
+        # requesting a finer grid than was stored linearly interpolates
+        # the dB table (reference semantics, models.py:142-167) — that
+        # is RESOLUTION error, not round-trip error; steepest at the
+        # low-wspd end where sigma0 curves fastest in dB
+        ah = np.asarray(reloaded.to_lut(units="linear").data)
+        bh = np.asarray(demo.to_lut(units="linear").data)
+        print("low-res store -> high-res interp max |rel err|:",
+              float(np.nanmax(np.abs(ah - bh) / np.abs(bh))))
 
 
 if __name__ == "__main__":
