@@ -49,20 +49,27 @@ def main():
         demo.to_netcdf(path)
         register_nc_luts(d)
         reloaded = get_model("nc_lut_gmf_demo_vh")
-        # like-for-like: compare at the STORED grid — a true round-trip
-        # (only the dB<->linear conversion rounds)
+        # crosspol models are STORED at high resolution (copol at low,
+        # like the reference). Comparing at the low-res grid is a true
+        # round-trip check: its nodes are a subset of the stored grid
+        # (nested steps), so the reload side's interpolation degenerates
+        # to exact node selection and only dB<->linear conversion rounds
         a = np.asarray(reloaded.to_lut(units="linear",
                                        resolution="low").data)
         b = np.asarray(demo.to_lut(units="linear", resolution="low").data)
-        print("netCDF round-trip (stored grid) max |rel err|:",
+        print("netCDF round-trip (shared grid nodes) max |rel err|:",
               float(np.nanmax(np.abs(a - b) / np.abs(b))))
-        # requesting a finer grid than was stored linearly interpolates
-        # the dB table (reference semantics, models.py:142-167) — that
-        # is RESOLUTION error, not round-trip error; steepest at the
-        # low-wspd end where sigma0 curves fastest in dB
+        # at full resolution the reloaded side IS the stored direct
+        # high-res evaluation, while the DEFAULT to_lut() of an analytic
+        # model generates its native low grid and interpolates up
+        # (reference default semantics, models.py:108-167) — so this
+        # figure is the default path's RESOLUTION interp error, not a
+        # serialization error; steepest at the low-wspd end where
+        # sigma0 curves fastest
         ah = np.asarray(reloaded.to_lut(units="linear").data)
         bh = np.asarray(demo.to_lut(units="linear").data)
-        print("low-res store -> high-res interp max |rel err|:",
+        print("default (interp) vs stored direct high-res eval "
+              "max |rel err|:",
               float(np.nanmax(np.abs(ah - bh) / np.abs(bh))))
 
 

@@ -119,17 +119,26 @@ def main():
           f"slab_rows {slab_rows}")
 
     # --- stage 1a: fused nearest+bucket (production path: the nearest
-    # lookup folds into the bucket sort via exact band boundaries)
+    # lookup folds into the bucket sort via exact band boundaries);
+    # grids that fail band_boundaries_f32's preconditions fall back to
+    # nearest+bucket_by_band exactly like production (inversion.py)
     from xsarsea_tpu.ops.pallas_inversion import (_f32_sort_key_np,
                                                   band_boundaries_f32,
+                                                  bucket_by_band,
                                                   bucket_by_value)
 
-    bkeys = jnp.asarray(_f32_sort_key_np(
-        band_boundaries_f32(np.asarray(tables.co_inc, np.float32))))
+    bounds = band_boundaries_f32(np.asarray(tables.co_inc, np.float32))
+    if bounds is not None:
+        bkeys = jnp.asarray(_f32_sort_key_np(bounds))
 
-    @jax.jit
-    def s1_bucket(inc):
-        return bucket_by_value(inc, bkeys, n_bands=n_inc, block=block)
+        @jax.jit
+        def s1_bucket(inc):
+            return bucket_by_value(inc, bkeys, n_bands=n_inc, block=block)
+    else:
+        @jax.jit
+        def s1_bucket(inc):
+            i_inc = nearest_index_sorted(co_inc, inc)
+            return bucket_by_band(i_inc, n_bands=n_inc, block=block)
 
     (perm, band_of_block), t_b1 = timed("1a bucket by incidence", s1_bucket, inc)
 

@@ -134,6 +134,27 @@ def test_extract_windows_anchoring():
     assert np.isnan(wins0[0]).sum() == w * w - 2 * 2
 
 
+def test_hist_bin_forms_agree():
+    """The TPU one-hot reduce and the CPU scatter-add binning forms sum
+    the same per-element products; results agree to accumulation-order
+    rounding (and exactly in f64)."""
+    import xsarsea_tpu.gradients as G
+
+    rng = np.random.default_rng(9)
+    nwin, wpix, nb = 37, 230, 72
+    wm = jnp.asarray(rng.uniform(0, 1, (nwin, wpix)))
+    ki = jnp.asarray(rng.integers(0, nb, (nwin, wpix)).astype(np.int32))
+    old = G._HIST_BIN_FORM
+    try:
+        G._HIST_BIN_FORM = "reduce"
+        hr = np.asarray(G._hist_bins(wm, ki, nb))
+        G._HIST_BIN_FORM = "scatter"
+        hs = np.asarray(G._hist_bins(wm, ki, nb))
+    finally:
+        G._HIST_BIN_FORM = old
+    np.testing.assert_allclose(hr, hs, rtol=1e-12, atol=0)
+
+
 def test_extract_windows_batched_matches_unbatched():
     """The stacked (C, H, W) fast path must produce exactly the windows
     the per-channel path produces — including NaN masks at clipped

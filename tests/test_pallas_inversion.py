@@ -637,36 +637,49 @@ def test_bucket_by_value_matches_nearest_index():
                                                   band_boundaries_f32,
                                                   bucket_by_value)
 
-    grid = np.arange(16.0, 66.0 + 0.1, 0.1).astype(np.float32)
-    n_bands = grid.shape[0]
-    bounds = band_boundaries_f32(grid)
-    assert bounds is not None and bounds.shape == (n_bands - 1,)
+    grids = [
+        np.arange(16.0, 66.0 + 0.1, 0.1).astype(np.float32),
+        # genuinely non-uniform (nearest_index_sorted binary-searches):
+        # covers the +-inf first-min rule on that path too
+        np.sort(np.concatenate([
+            np.array([16.0, 17.0, 19.5, 25.0, 40.0, 66.0], np.float32),
+            np.random.default_rng(2).uniform(
+                16.5, 65.0, 40).astype(np.float32)])),
+    ]
+    for grid in grids:
+        n_bands = grid.shape[0]
+        bounds = band_boundaries_f32(grid)
+        assert bounds is not None and bounds.shape == (n_bands - 1,)
 
-    rng = np.random.default_rng(11)
-    vals = [rng.uniform(10.0, 70.0, 4096).astype(np.float32)]
-    # dense ulp sweep around every midpoint (the adversarial region)
-    mids = ((grid[:-1].astype(np.float64) + grid[1:]) / 2).astype(np.float32)
-    for k in range(-3, 4):
-        stepped = mids.view(np.int32) + k  # positive f32: bit arithmetic
-        vals.append(stepped.view(np.float32))
-    vals.append(np.array([np.nan, np.inf, 0.0, 100.0], np.float32))
-    v = np.concatenate(vals)
+        rng = np.random.default_rng(11)
+        vals = [rng.uniform(10.0, 70.0, 4096).astype(np.float32)]
+        # dense ulp sweep around every midpoint (the adversarial region)
+        mids = ((grid[:-1].astype(np.float64) + grid[1:]) / 2
+                ).astype(np.float32)
+        for k in range(-3, 4):
+            stepped = mids.view(np.int32) + k  # positive f32: bit arith
+            vals.append(stepped.view(np.float32))
+        vals.append(np.array([np.nan, np.inf, -np.inf, 0.0, 100.0],
+                             np.float32))
+        v = np.concatenate(vals)
 
-    block = 64
-    perm, band_of_block = bucket_by_value(
-        jnp.asarray(v), jnp.asarray(_f32_sort_key_np(bounds)),
-        n_bands=n_bands, block=block)
-    perm = np.asarray(perm)
-    band_of_block = np.asarray(band_of_block)
-    # recover each pixel's assigned band from its slot's block
-    got = np.full(v.shape[0], -1, np.int64)
-    slots = np.nonzero(perm >= 0)[0]
-    got[perm[slots]] = band_of_block[slots // block]
-    assert (got >= 0).all()  # every pixel placed exactly once
+        block = 64
+        perm, band_of_block = bucket_by_value(
+            jnp.asarray(v), jnp.asarray(_f32_sort_key_np(bounds)),
+            n_bands=n_bands, block=block)
+        perm = np.asarray(perm)
+        band_of_block = np.asarray(band_of_block)
+        # recover each pixel's assigned band from its slot's block
+        got = np.full(v.shape[0], -1, np.int64)
+        slots = np.nonzero(perm >= 0)[0]
+        got[perm[slots]] = band_of_block[slots // block]
+        assert (got >= 0).all()  # every pixel placed exactly once
 
-    expect = np.asarray(nearest_index_sorted(jnp.asarray(grid),
-                                             jnp.asarray(v)))
-    m = ~np.isnan(v)
-    np.testing.assert_array_equal(got[m], expect[m])
-    # NaN pixels land in the last band (outputs NaN-guarded downstream)
-    assert (got[~m] == n_bands - 1).all()
+        expect = np.asarray(nearest_index_sorted(jnp.asarray(grid),
+                                                 jnp.asarray(v)))
+        m = ~np.isnan(v)
+        np.testing.assert_array_equal(got[m], expect[m])
+        # +-inf follows np.argmin's first-min over all-inf distances
+        assert (got[np.isinf(v)] == 0).all()
+        # NaN pixels land in the last band (NaN-guarded downstream)
+        assert (got[~m] == n_bands - 1).all()

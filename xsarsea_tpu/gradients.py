@@ -417,19 +417,41 @@ def _histogram_windows(abs_win, ang_win, c_win, angles_bins, total=None):
     # +pi/2); clip into the last bin instead
     ki = jnp.clip(k, 0, n_angles - 1).astype(jnp.int32)
 
-    # one-hot broadcast-reduce instead of a scatter-add: summing the
-    # masked weights under a (ki == bin) select fuses into one reduction
-    # pass and measures 2.8 ms on (625, 1600)x72 where the flat
-    # .at[].add scatter costs 11.7 (TPU scatters run ~10 ns/element;
-    # the reduce is dense VPU work). Both forms sum the same exact
-    # per-element products in an unspecified order, so this is the same
-    # contract the scatter had (the reference's sequential np.add.at
-    # order was never reproducible on an accelerator either way).
-    oh = ki[:, :, None] == jnp.arange(n_angles, dtype=jnp.int32)
-    hist = jnp.sum(jnp.where(oh, wm[:, :, None], jnp.zeros_like(wm)[..., None]),
-                   axis=1)
+    hist = _hist_bins(wm, ki, n_angles)
     ratio = n / total
     return hist, ratio
+
+
+#: binning form override for tests: None = auto by backend,
+#: "reduce" / "scatter" to force one
+_HIST_BIN_FORM = None
+
+
+def _hist_bins(wm, ki, n_angles):
+    """Sum weights into per-window angle bins — backend-matched form.
+
+    On TPU a one-hot broadcast-reduce (summing the masked weights under
+    a ``ki == bin`` select) fuses into one dense reduction pass and
+    measures 2.8 ms on (625, 1600)x72 where the flat ``.at[].add``
+    scatter costs 11.7 — TPU scatters run ~10 ns/element. On CPU the
+    economics invert hard: the reduce generates n_angles-times the
+    arithmetic and measures 183 ms vs 5.1 for the scatter (36x) at the
+    same shape, so non-TPU backends keep the scatter. Both forms sum
+    the same exact per-element products in an unspecified order — the
+    same contract either way (the reference's sequential np.add.at
+    order was never reproducible on an accelerator)."""
+    form = _HIST_BIN_FORM or (
+        "reduce" if jax.default_backend() == "tpu" else "scatter")
+    if form == "reduce":
+        oh = ki[:, :, None] == jnp.arange(n_angles, dtype=jnp.int32)
+        return jnp.sum(
+            jnp.where(oh, wm[:, :, None], jnp.zeros_like(wm)[..., None]),
+            axis=1)
+    nwin = wm.shape[0]
+    flat_idx = (jnp.arange(nwin, dtype=jnp.int32)[:, None] * n_angles
+                + ki).reshape(-1)
+    return jnp.zeros((nwin * n_angles,), wm.dtype).at[flat_idx].add(
+        wm.reshape(-1)).reshape(nwin, n_angles)
 
 
 @partial(jax.jit, static_argnums=(3, 4))

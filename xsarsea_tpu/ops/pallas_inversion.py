@@ -194,8 +194,15 @@ def nearest_index_sorted(grid, values):
         # order bit (one extra binary search; every in-package caller
         # closes over a concrete grid and never reaches this path)
         idx = jnp.where(grid[0] > grid[-1], desc(grid), asc(grid))
-    # NaN values -> index 0 (result discarded by NaN guards downstream)
-    return jnp.where(jnp.isnan(values), 0, idx).astype(jnp.int32)
+    # NaN values -> index 0 (result discarded by NaN guards downstream).
+    # +-inf -> index 0 too: every |g[k] - inf| is inf, so np.argmin's
+    # first-minimum rule picks 0 — the near-uniform path, the exact
+    # mode's argmin and bucket_by_value already agree on that; the raw
+    # binary search would return n-1 for +inf (ascending grids) or for
+    # -inf (descending), a review-caught divergence between the two
+    # internal paths.
+    return jnp.where(jnp.isnan(values) | jnp.isinf(values), 0,
+                     idx).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("n_bands", "block"))
